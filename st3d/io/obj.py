@@ -1,0 +1,285 @@
+"""Wavefront OBJ/MTL mesh I/O (host-side, NumPy), replacing the capability of
+``pytorch3d.io.load_obj`` / ``IO().save_mesh`` used by the reference
+(first_approach.py:15,83,225; second_approach.py:15,77,202).
+
+Supported on read:
+  * ``v`` positions, ``vt`` UVs, ``vn`` normals
+  * face encodings ``f a b c``, ``f a/b``, ``f a//c``, ``f a/b/c``
+  * negative (relative) indices
+  * polygon faces, fan-triangulated (bob.obj is all quads:
+    reference objects/bob_mesh/bob.obj faces like ``f 1/1/1 1337/2/2 ...``)
+  * ``mtllib``/``usemtl`` with ``map_Kd`` texture images loaded via PIL
+    (as float32 in [0, 1], matching pytorch3d's texture_images dict).
+
+On write: OBJ + MTL + texture PNG (layout matching what the reference's
+``IO().save_mesh(final_mesh, "final.obj")`` produces: final.obj, final.mtl and
+a texture image alongside).
+
+If a mesh has no UVs / no texture (teapot.obj — 0 ``vt`` lines, no mtl), the
+loader returns ``verts_uvs=None`` and the caller decides: the reference
+hard-crashes there (first_approach.py:88); we raise a clear error in the
+pipelines unless a generated placeholder is requested.
+
+A faster C++ parser (st3d/io/native.py) is used automatically for large files
+when the native library has been built; this module is the portable fallback
+and the golden reference for it.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import numpy as np
+
+
+@dataclass
+class ObjData:
+    """Raw parse result (host NumPy arrays)."""
+
+    verts: np.ndarray                 # (V, 3) float32
+    faces: np.ndarray                 # (F, 3) int32 (triangulated)
+    verts_uvs: Optional[np.ndarray]   # (Vt, 2) float32 or None
+    faces_uvs: Optional[np.ndarray]   # (F, 3) int32 or None
+    normals: Optional[np.ndarray]     # (Vn, 3) float32 or None
+    faces_normals: Optional[np.ndarray]  # (F, 3) int32 or None
+    texture_images: Dict[str, np.ndarray]  # material name -> (H, W, 3) float32 [0,1]
+    material_names: Dict[str, str]    # material name -> map_Kd path (resolved)
+
+
+def _resolve_index(idx: int, count: int) -> int:
+    """OBJ indices are 1-based; negative indices are relative to the end."""
+    return idx - 1 if idx > 0 else count + idx
+
+
+def _parse_mtl(mtl_path: str) -> Dict[str, str]:
+    """Return {material_name: absolute map_Kd path} for materials that have a
+    diffuse texture (reference cow.mtl / bob.mtl: ``newmtl`` + ``map_Kd``)."""
+    materials: Dict[str, str] = {}
+    if not os.path.isfile(mtl_path):
+        return materials
+    base = os.path.dirname(mtl_path)
+    current = None
+    with open(mtl_path, "r", errors="replace") as f:
+        for line in f:
+            tokens = line.split()
+            if not tokens:
+                continue
+            if tokens[0] == "newmtl" and len(tokens) > 1:
+                current = tokens[1]
+            elif tokens[0] == "map_Kd" and current is not None and len(tokens) > 1:
+                materials[current] = os.path.join(base, tokens[-1])
+    return materials
+
+
+def _load_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def load_obj(path: str, load_textures: bool = True) -> ObjData:
+    """Parse an OBJ file (plus its MTL textures).
+
+    Matches pytorch3d.io.load_obj's observable behavior for the reference's
+    usage: triangulates polygons by fanning, returns verts/faces/uv arrays and
+    a dict of texture images keyed by material name.
+    """
+    verts, uvs, normals = [], [], []
+    tri_v, tri_vt, tri_vn = [], [], []
+    mtl_files = []
+    has_vt_faces = False
+    has_vn_faces = False
+
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            tokens = line.split()
+            if not tokens:
+                continue
+            tag = tokens[0]
+            if tag == "v":
+                verts.append([float(x) for x in tokens[1:4]])
+            elif tag == "vt":
+                uvs.append([float(x) for x in tokens[1:3]])
+            elif tag == "vn":
+                normals.append([float(x) for x in tokens[1:4]])
+            elif tag == "mtllib" and len(tokens) > 1:
+                mtl_files.append(tokens[1])
+            elif tag == "f":
+                corners = []
+                for vert_tok in tokens[1:]:
+                    parts = vert_tok.split("/")
+                    vi = int(parts[0])
+                    ti = int(parts[1]) if len(parts) > 1 and parts[1] else None
+                    ni = int(parts[2]) if len(parts) > 2 and parts[2] else None
+                    corners.append((vi, ti, ni))
+                # Fan triangulation: (0, k, k+1) for k in 1..n-2.
+                for k in range(1, len(corners) - 1):
+                    for c in (corners[0], corners[k], corners[k + 1]):
+                        tri_v.append(c[0])
+                        tri_vt.append(c[1])
+                        tri_vn.append(c[2])
+                    if corners[0][1] is not None:
+                        has_vt_faces = True
+                    if corners[0][2] is not None:
+                        has_vn_faces = True
+
+    verts_np = np.asarray(verts, dtype=np.float32).reshape(-1, 3)
+    uvs_np = np.asarray(uvs, dtype=np.float32).reshape(-1, 2) if uvs else None
+    normals_np = (
+        np.asarray(normals, dtype=np.float32).reshape(-1, 3) if normals else None
+    )
+
+    nv, nt, nn = len(verts_np), len(uvs) if uvs else 0, len(normals) if normals else 0
+    faces_np = np.asarray(
+        [_resolve_index(i, nv) for i in tri_v], dtype=np.int32
+    ).reshape(-1, 3)
+
+    faces_uvs_np = None
+    if has_vt_faces and uvs_np is not None:
+        faces_uvs_np = np.asarray(
+            [_resolve_index(i, nt) if i is not None else 0 for i in tri_vt],
+            dtype=np.int32,
+        ).reshape(-1, 3)
+
+    faces_normals_np = None
+    if has_vn_faces and normals_np is not None:
+        faces_normals_np = np.asarray(
+            [_resolve_index(i, nn) if i is not None else 0 for i in tri_vn],
+            dtype=np.int32,
+        ).reshape(-1, 3)
+
+    texture_images: Dict[str, np.ndarray] = {}
+    material_paths: Dict[str, str] = {}
+    if load_textures:
+        base = os.path.dirname(os.path.abspath(path))
+        for mtl in mtl_files:
+            material_paths.update(_parse_mtl(os.path.join(base, mtl)))
+        for name, img_path in material_paths.items():
+            if os.path.isfile(img_path):
+                texture_images[name] = _load_image(img_path)
+
+    return ObjData(
+        verts=verts_np,
+        faces=faces_np,
+        verts_uvs=uvs_np,
+        faces_uvs=faces_uvs_np,
+        normals=normals_np,
+        faces_normals=faces_normals_np,
+        texture_images=texture_images,
+        material_names=material_paths,
+    )
+
+
+def save_obj(
+    path: str,
+    verts: np.ndarray,
+    faces: np.ndarray,
+    verts_uvs: Optional[np.ndarray] = None,
+    faces_uvs: Optional[np.ndarray] = None,
+    texture: Optional[np.ndarray] = None,
+    material_name: str = "material_1",
+) -> None:
+    """Write OBJ (+MTL +texture PNG when UVs/texture given).
+
+    Capability match for the reference's ``IO().save_mesh(final_mesh,
+    output_path + "/final.obj")`` (first_approach.py:225).
+    """
+    verts = np.asarray(verts, dtype=np.float64)
+    faces = np.asarray(faces, dtype=np.int64)
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    stem = os.path.splitext(os.path.basename(path))[0]
+    base = os.path.dirname(path)
+
+    has_tex = verts_uvs is not None and faces_uvs is not None and texture is not None
+    lines = []
+    if has_tex:
+        lines.append(f"mtllib {stem}.mtl")
+    for v in verts:
+        lines.append(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}")
+    if has_tex:
+        for vt in np.asarray(verts_uvs, dtype=np.float64):
+            lines.append(f"vt {vt[0]:.6f} {vt[1]:.6f}")
+        lines.append(f"usemtl {material_name}")
+        fuv = np.asarray(faces_uvs, dtype=np.int64)
+        for f, ft in zip(faces, fuv):
+            lines.append(
+                f"f {f[0]+1}/{ft[0]+1} {f[1]+1}/{ft[1]+1} {f[2]+1}/{ft[2]+1}"
+            )
+    else:
+        for f in faces:
+            lines.append(f"f {f[0]+1} {f[1]+1} {f[2]+1}")
+    with open(path, "w") as out:
+        out.write("\n".join(lines) + "\n")
+
+    if has_tex:
+        from PIL import Image
+
+        tex_name = f"{stem}_texture.png"
+        with open(os.path.join(base, f"{stem}.mtl"), "w") as m:
+            m.write(f"newmtl {material_name}\nmap_Kd {tex_name}\n")
+        tex8 = (np.clip(np.asarray(texture), 0.0, 1.0) * 255.0 + 0.5).astype(
+            np.uint8
+        )
+        Image.fromarray(tex8).save(os.path.join(base, tex_name))
+
+
+def load_mesh(path: str, with_topology: bool = True, require_uvs: bool = True):
+    """Load an OBJ straight into an ``st3d.Mesh`` (texture from map_Kd).
+
+    ``require_uvs=False`` substitutes a constant 0.5-gray 2x2 texture with
+    degenerate UVs for UV-less meshes (teapot) instead of failing, which keeps
+    geometry-only pipelines usable where the reference crashes
+    (first_approach.py:88 with teapot.obj).
+    """
+    from st3d.core.mesh import Mesh
+
+    data = load_obj(path)
+    if data.verts_uvs is None or data.faces_uvs is None or not data.texture_images:
+        if require_uvs:
+            raise ValueError(
+                f"{path} has no UVs/texture; pass require_uvs=False to "
+                "substitute a uniform placeholder texture"
+            )
+        verts_uvs = np.full((1, 2), 0.5, dtype=np.float32)
+        faces_uvs = np.zeros_like(data.faces)
+        texture = np.full((2, 2, 3), 0.5, dtype=np.float32)
+    else:
+        verts_uvs = data.verts_uvs
+        faces_uvs = data.faces_uvs
+        texture = next(iter(data.texture_images.values()))
+
+    mesh = Mesh(
+        verts=np.asarray(data.verts),
+        faces=np.asarray(data.faces),
+        verts_uvs=np.asarray(verts_uvs),
+        faces_uvs=np.asarray(faces_uvs),
+        texture=np.asarray(texture),
+    )
+    import jax.numpy as jnp
+
+    mesh = Mesh(
+        verts=jnp.asarray(mesh.verts),
+        faces=jnp.asarray(mesh.faces),
+        verts_uvs=jnp.asarray(mesh.verts_uvs),
+        faces_uvs=jnp.asarray(mesh.faces_uvs),
+        texture=jnp.asarray(mesh.texture),
+    )
+    if with_topology:
+        mesh = mesh.with_topology()
+    return mesh
+
+
+def save_mesh(mesh, path: str) -> None:
+    """Save an ``st3d.Mesh`` as OBJ+MTL+PNG."""
+    save_obj(
+        path,
+        verts=np.asarray(mesh.verts),
+        faces=np.asarray(mesh.faces),
+        verts_uvs=np.asarray(mesh.verts_uvs),
+        faces_uvs=np.asarray(mesh.faces_uvs),
+        texture=np.asarray(mesh.texture),
+    )
