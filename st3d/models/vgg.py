@@ -1,0 +1,206 @@
+"""VGG-19 feature extractor in JAX (XLA convs on the MXU).
+
+Replaces torchvision's ``vgg19(weights=IMAGENET1K_V1).features`` as loaded by
+the reference's ``get_vgg`` (utils.py:48-52) and traversed by
+``get_features`` (style_transfer.py:10-27).
+
+Parity-critical details (SURVEY.md §2.1):
+  * Taps are the outputs of conv modules {0, 5, 10, 19, 21, 28} →
+    {conv1_1, conv2_1, conv3_1, conv4_1, conv4_2, conv5_1}, taken
+    **pre-ReLU** (the reference collects ``x = layer(x)`` right after the
+    Conv2d itself).
+  * Inputs are raw [0, 1] RGB — **no ImageNet mean/std normalization**
+    (utils.py:34-44 applies only ToTensor).
+  * The reference runs all 37 Sequential modules every call even though
+    nothing past index 28 is used; we stop at conv5_1 (identical outputs,
+    ~15% fewer conv FLOPs).
+
+Weights: torchvision pretrained weights cannot be downloaded in a zero-egress
+environment; weight resolution order is (1) explicit path argument,
+(2) ``$ST3D_VGG_WEIGHTS``, (3) ``<repo>/weights/vgg19_imagenet.npz``,
+(4) deterministic He-initialized random weights (warns once). The converter
+``scripts/convert_vgg_weights.py`` produces the ``.npz`` from torchvision on
+any machine that has it. All of st3d's math is weight-agnostic; tests verify
+conv-stack parity against a hand-built torch replica sharing the same
+weights.
+
+Layout: params are stored HWIO and compute runs NHWC (TPU-native). The
+public API accepts NCHW (B, 3, H, W) images to mirror the reference call
+sites, transposing once at the boundary. ``dtype=jnp.bfloat16`` runs the conv
+stack in bf16 on the MXU with f32 accumulation.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+# Configuration "E" of VGG (torchvision.models.vgg19): conv channel widths
+# with 'M' = 2x2/stride-2 max-pool between blocks.
+VGG19_CFG: Tuple = (
+    64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+    512, 512, 512, 512, "M", 512, 512, 512, 512, "M",
+)
+
+# Conv-counter index (0-based among the 16 convs) for each named tap.
+# torchvision Sequential indices in comments (reference style_transfer.py:12-18).
+TAP_CONV_INDEX: Dict[str, int] = {
+    "conv1_1": 0,   # features[0]
+    "conv2_1": 2,   # features[5]
+    "conv3_1": 4,   # features[10]
+    "conv4_1": 8,   # features[19]
+    "conv4_2": 9,   # features[21]  (content layer)
+    "conv5_1": 12,  # features[28]
+}
+LAST_TAP_CONV = max(TAP_CONV_INDEX.values())  # stop after conv5_1
+
+
+@struct.dataclass
+class VGG19:
+    """Frozen VGG-19 feature stack: 16 convs' (kernel HWIO, bias)."""
+
+    kernels: Tuple[jnp.ndarray, ...]
+    biases: Tuple[jnp.ndarray, ...]
+
+    @property
+    def num_convs(self) -> int:
+        return len(self.kernels)
+
+
+def _conv_shapes() -> List[Tuple[int, int]]:
+    """(in_ch, out_ch) of each conv in order."""
+    shapes = []
+    c_in = 3
+    for v in VGG19_CFG:
+        if v == "M":
+            continue
+        shapes.append((c_in, int(v)))
+        c_in = int(v)
+    return shapes
+
+
+def init_random_vgg19(seed: int = 0) -> VGG19:
+    """Deterministic He-initialized weights (fallback when no pretrained
+    .npz is available; see module docstring)."""
+    key = jax.random.PRNGKey(seed)
+    kernels, biases = [], []
+    for c_in, c_out in _conv_shapes():
+        key, k1 = jax.random.split(key)
+        fan_in = 3 * 3 * c_in
+        w = jax.random.normal(k1, (3, 3, c_in, c_out), jnp.float32)
+        w = w * jnp.sqrt(2.0 / fan_in)
+        kernels.append(w)
+        biases.append(jnp.zeros((c_out,), jnp.float32))
+    return VGG19(kernels=tuple(kernels), biases=tuple(biases))
+
+
+def load_vgg19_npz(path: str) -> VGG19:
+    """Load weights from the converter's .npz: keys conv{i}_kernel (HWIO)
+    and conv{i}_bias for i in 0..15."""
+    data = np.load(path)
+    kernels, biases = [], []
+    for i, (c_in, c_out) in enumerate(_conv_shapes()):
+        w = np.asarray(data[f"conv{i}_kernel"], np.float32)
+        b = np.asarray(data[f"conv{i}_bias"], np.float32)
+        if w.shape != (3, 3, c_in, c_out):
+            raise ValueError(
+                f"conv{i}_kernel has shape {w.shape}, want {(3,3,c_in,c_out)}"
+            )
+        kernels.append(jnp.asarray(w))
+        biases.append(jnp.asarray(b))
+    return VGG19(kernels=tuple(kernels), biases=tuple(biases))
+
+
+_warned_random = False
+
+
+def get_vgg(weights_path: Optional[str] = None) -> VGG19:
+    """Reference-named constructor (utils.py:48-52). Resolution order: arg,
+    $ST3D_VGG_WEIGHTS, <repo>/weights/vgg19_imagenet.npz, random fallback."""
+    global _warned_random
+    candidates = []
+    if weights_path:
+        candidates.append(weights_path)
+    env = os.environ.get("ST3D_VGG_WEIGHTS")
+    if env:
+        candidates.append(env)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    candidates.append(os.path.join(repo_root, "weights", "vgg19_imagenet.npz"))
+    for cand in candidates:
+        if os.path.isfile(cand):
+            return load_vgg19_npz(cand)
+    if weights_path:  # explicitly requested file missing -> hard error
+        raise FileNotFoundError(weights_path)
+    if not _warned_random:
+        warnings.warn(
+            "No pretrained VGG-19 weights found (zero-egress environment); "
+            "using deterministic random init. Run "
+            "scripts/convert_vgg_weights.py where torchvision is available "
+            "and point ST3D_VGG_WEIGHTS at the produced .npz.",
+            stacklevel=2,
+        )
+        _warned_random = True
+    return init_random_vgg19()
+
+
+def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """torch MaxPool2d(kernel=2, stride=2) in NHWC (floor mode == VALID)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def get_features(
+    images: jnp.ndarray,
+    model: VGG19,
+    layers: Optional[Dict[str, str]] = None,
+    dtype: jnp.dtype = jnp.float32,
+) -> Dict[str, jnp.ndarray]:
+    """Tap dict for a batch of images, mirroring the reference
+    ``get_features(image, model)`` (style_transfer.py:10-27).
+
+    images: (B, 3, H, W) in [0, 1] (NCHW, reference layout). Returns
+    {name: (B, C, H', W') float32} with pre-ReLU conv outputs.
+
+    ``layers`` accepts the reference's {torchvision_index: name} dict for API
+    parity; names are what matters here.
+    """
+    wanted = set(TAP_CONV_INDEX)
+    if layers is not None:
+        wanted = set(layers.values())
+
+    x = jnp.transpose(images.astype(dtype), (0, 2, 3, 1))  # NHWC
+    feats: Dict[str, jnp.ndarray] = {}
+    name_by_conv = {v: k for k, v in TAP_CONV_INDEX.items()}
+
+    conv_i = 0
+    for v in VGG19_CFG:
+        if v == "M":
+            x = _max_pool_2x2(x)
+            continue
+        w = model.kernels[conv_i].astype(dtype)
+        b = model.biases[conv_i].astype(dtype)
+        x = jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype) + b
+        if conv_i in name_by_conv and name_by_conv[conv_i] in wanted:
+            feats[name_by_conv[conv_i]] = jnp.transpose(
+                x, (0, 3, 1, 2)
+            ).astype(jnp.float32)
+        if conv_i >= LAST_TAP_CONV:
+            break
+        x = jnp.maximum(x, 0.0)  # ReLU between convs (pre-ReLU taps above)
+        conv_i += 1
+        continue
+    return feats

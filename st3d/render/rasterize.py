@@ -1,0 +1,257 @@
+"""Rasterization: per-pixel visibility (winning face id + depth).
+
+TPU-native replacement for PyTorch3D's ``MeshRasterizer`` +
+``RasterizationSettings`` C++/CUDA kernel (reference config:
+first_approach.py:107 ``RasterizationSettings(image_size=size,
+blur_radius=0.0, faces_per_pixel=1)``; SURVEY.md D4).
+
+Architecture ("discrete visibility in the kernel, differentiable math in
+XLA"): rasterization here returns only the **non-differentiable** quantities —
+``pix_to_face`` (int32 winning face per pixel, -1 = background) and ``zbuf``.
+Barycentrics are *recomputed differentiably* from the projected vertices in
+:mod:`st3d.render.shading`, so gradients w.r.t. vertices flow through
+ordinary XLA autodiff and no custom VJP is needed on the hot path. This
+matches the gradient semantics of PyTorch3D's hard rasterizer (pix_to_face is
+non-differentiable there too; barycentrics carry the vertex gradients).
+
+Three interchangeable backends behind :func:`rasterize`:
+  * ``"bruteforce"`` — (P, F) broadcast; oracle for tests, tiny sizes only.
+  * ``"xla"``        — memory-bounded nested scan (row blocks x face chunks);
+                       runs on any backend, used on CPU and under the
+                       multi-chip dry-run.
+  * ``"pallas"``     — tiled TPU kernel (st3d.kernels.raster_pallas), the
+                       production path on TPU.
+
+Conventions: face vertices arrive as screen-space ``(x_pix, y_pix, z_view)``
+(see st3d.core.cameras.transform_points_screen); pixel (i, j) center is at
+(x=j, y=i); depth is perspective-correct interpolated view z; winding is not
+culled (faces visible from both sides, PyTorch3D default
+cull_backfaces=False); ties in depth go to the lower face index.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+Z_EPS = 1e-5          # faces with any vertex at view-z below this are dropped
+AREA_EPS = 1e-10      # degenerate-triangle rejection threshold
+BIG_Z = 1e10
+
+
+@struct.dataclass
+class RasterizationSettings:
+    """Mirror of PyTorch3D's RasterizationSettings for the options the
+    reference exercises, plus soft-rasterization knobs.
+
+    blur_radius / faces_per_pixel are accepted for API parity; the hard path
+    (blur=0, fpp=1 — the reference's setting) is what the fast kernels
+    implement. ``sigma``/``gamma`` drive the optional soft silhouette mode in
+    st3d.render.soft.
+    """
+
+    image_size: int = struct.field(pytree_node=False, default=256)
+    blur_radius: float = struct.field(pytree_node=False, default=0.0)
+    faces_per_pixel: int = struct.field(pytree_node=False, default=1)
+    backend: str = struct.field(pytree_node=False, default="auto")
+    sigma: float = struct.field(pytree_node=False, default=1e-4)
+    gamma: float = struct.field(pytree_node=False, default=1e-4)
+
+
+@struct.dataclass
+class Fragments:
+    """Per-pixel rasterization output for one view (K = faces_per_pixel = 1).
+
+    pix_to_face: (H, W) int32, -1 where no face covers the pixel.
+    zbuf:        (H, W) float32 perspective-correct view-space depth
+                 (BIG_Z where uncovered).
+    """
+
+    pix_to_face: jnp.ndarray
+    zbuf: jnp.ndarray
+
+
+def _face_valid(face_verts: jnp.ndarray) -> jnp.ndarray:
+    """(F,) mask: in front of camera and non-degenerate in screen space."""
+    z_ok = jnp.all(face_verts[:, :, 2] > Z_EPS, axis=1)
+    x0, y0 = face_verts[:, 0, 0], face_verts[:, 0, 1]
+    x1, y1 = face_verts[:, 1, 0], face_verts[:, 1, 1]
+    x2, y2 = face_verts[:, 2, 0], face_verts[:, 2, 1]
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    return z_ok & (jnp.abs(area) > AREA_EPS)
+
+
+def _pixel_depth_and_cover(face_verts, px, py):
+    """Coverage and perspective-correct depth of faces at pixel points.
+
+    face_verts: (F, 3, 3); px, py: (...,) pixel coordinates broadcastable
+    against a trailing face axis added here. Returns (covered, z) each of
+    shape broadcast(px.shape, F).
+    """
+    x0 = face_verts[:, 0, 0]
+    y0 = face_verts[:, 0, 1]
+    x1 = face_verts[:, 1, 0]
+    y1 = face_verts[:, 1, 1]
+    x2 = face_verts[:, 2, 0]
+    y2 = face_verts[:, 2, 1]
+    z0 = face_verts[:, 0, 2]
+    z1 = face_verts[:, 1, 2]
+    z2 = face_verts[:, 2, 2]
+
+    px = px[..., None]
+    py = py[..., None]
+
+    # Edge functions -> unnormalized barycentrics (w0 opposite v0, etc.).
+    w0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    w1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
+    w2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+
+    # Normalize by signed area: handles both windings (no backface culling).
+    inv_area = jnp.where(jnp.abs(area) > AREA_EPS, 1.0 / area, 0.0)
+    b0 = w0 * inv_area
+    b1 = w1 * inv_area
+    b2 = w2 * inv_area
+    covered = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0)
+
+    # Perspective-correct depth: 1/z is affine in screen space.
+    inv_z = b0 / z0 + b1 / z1 + b2 / z2
+    z = 1.0 / jnp.maximum(inv_z, 1e-12)
+
+    valid = _face_valid(face_verts)
+    covered = covered & valid
+    return covered, z
+
+
+def rasterize_bruteforce(
+    face_verts: jnp.ndarray, image_size: int
+) -> Fragments:
+    """Golden-oracle rasterizer: full (H*W, F) broadcast. Use at <=128**2."""
+    h = w = image_size
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    py, px = jnp.meshgrid(ys, xs, indexing="ij")
+    covered, z = _pixel_depth_and_cover(
+        face_verts, px.reshape(-1), py.reshape(-1)
+    )  # (P, F)
+    zm = jnp.where(covered, z, BIG_Z)
+    best = jnp.argmin(zm, axis=1)  # lowest index wins ties (argmin semantics)
+    best_z = jnp.take_along_axis(zm, best[:, None], axis=1)[:, 0]
+    hit = best_z < BIG_Z
+    pix_to_face = jnp.where(hit, best, -1).astype(jnp.int32)
+    return Fragments(
+        pix_to_face=pix_to_face.reshape(h, w),
+        zbuf=best_z.reshape(h, w),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def rasterize_xla(
+    face_verts: jnp.ndarray,
+    image_size: int,
+    row_block: int = 16,
+    face_chunk: int = 512,
+) -> Fragments:
+    """Memory-bounded rasterizer in pure XLA: lax.map over row blocks,
+    lax.scan over face chunks with a running (z, face-id) minimum.
+
+    Works on every backend; the CPU production path and the oracle for the
+    Pallas kernel at realistic sizes.
+    """
+    h = w = image_size
+    f = face_verts.shape[0]
+    fc = min(face_chunk, max(f, 1))
+    n_chunks = -(-f // fc)
+    pad = n_chunks * fc - f
+    fv = jnp.pad(face_verts, ((0, pad), (0, 0), (0, 0)))
+    # Padded faces have all-zero verts -> invalid (area 0, z 0) -> ignored.
+    fv_chunks = fv.reshape(n_chunks, fc, 3, 3)
+
+    rb = min(row_block, h)
+    assert h % rb == 0, f"image_size {h} must be divisible by row_block {rb}"
+    n_blocks = h // rb
+    xs = jnp.arange(w, dtype=jnp.float32)
+
+    def do_block(block_idx):
+        ys = block_idx * rb + jnp.arange(rb, dtype=jnp.float32)
+        py, px = jnp.meshgrid(ys, xs, indexing="ij")
+        px = px.reshape(-1)
+        py = py.reshape(-1)
+
+        def scan_chunk(carry, inp):
+            best_z, best_f = carry
+            chunk_idx, chunk = inp
+            covered, z = _pixel_depth_and_cover(chunk, px, py)  # (P, fc)
+            zm = jnp.where(covered, z, BIG_Z)
+            arg = jnp.argmin(zm, axis=1)
+            zc = jnp.take_along_axis(zm, arg[:, None], axis=1)[:, 0]
+            fidc = chunk_idx * fc + arg
+            better = zc < best_z  # strict: earlier (lower) face wins ties
+            return (
+                jnp.where(better, zc, best_z),
+                jnp.where(better, fidc, best_f),
+            ), None
+
+        init = (
+            jnp.full((rb * w,), BIG_Z, jnp.float32),
+            jnp.full((rb * w,), -1, jnp.int32),
+        )
+        (best_z, best_f), _ = jax.lax.scan(
+            scan_chunk, init, (jnp.arange(n_chunks), fv_chunks)
+        )
+        best_f = jnp.where(best_z < BIG_Z, best_f, -1)
+        return best_f.reshape(rb, w).astype(jnp.int32), best_z.reshape(rb, w)
+
+    pix_to_face, zbuf = jax.lax.map(do_block, jnp.arange(n_blocks))
+    return Fragments(
+        pix_to_face=pix_to_face.reshape(h, w), zbuf=zbuf.reshape(h, w)
+    )
+
+
+def rasterize(
+    face_verts: jnp.ndarray,
+    settings: RasterizationSettings,
+) -> Fragments:
+    """Dispatch to the configured backend. ``auto`` picks the Pallas TPU
+    kernel on TPU and the XLA scan elsewhere."""
+    backend = settings.backend
+    if backend == "auto":
+        if jax.default_backend() == "tpu":
+            try:
+                from st3d.kernels import raster_pallas  # noqa: F401
+                backend = "pallas"
+            except ImportError:
+                backend = "xla"
+        else:
+            backend = "xla"
+    if backend == "bruteforce":
+        return rasterize_bruteforce(face_verts, settings.image_size)
+    if backend == "xla":
+        return rasterize_xla(face_verts, settings.image_size)
+    if backend == "pallas":
+        from st3d.kernels.raster_pallas import rasterize_pallas
+
+        return rasterize_pallas(face_verts, settings.image_size)
+    raise ValueError(f"unknown rasterizer backend {backend!r}")
+
+
+def face_verts_screen(
+    verts: jnp.ndarray,
+    faces: jnp.ndarray,
+    cameras,
+    image_size: int,
+) -> jnp.ndarray:
+    """Project mesh vertices and gather per-face screen verts.
+
+    Returns (N_cams, F, 3, 3) of (x_pix, y_pix, z_view). Differentiable
+    w.r.t. ``verts``; shared by every rasterizer backend and by the
+    differentiable epilogue (bary recompute).
+    """
+    from st3d.core.cameras import transform_points_screen
+
+    scr = transform_points_screen(cameras, verts, (image_size, image_size))
+    return scr[:, faces]  # (N, F, 3, 3)

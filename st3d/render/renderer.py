@@ -1,0 +1,64 @@
+"""MeshRenderer equivalent: camera batch in, images + masks out.
+
+Replaces the reference's renderer construction (first_approach.py:106-114)
+and its sequential per-view Python loop ``render_meshes``
+(utils.py:65-77) with a single jitted, ``vmap``-over-views function: the
+Python loop over cameras — one GPU kernel launch per view in the reference —
+becomes one batched XLA program (SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from st3d.core.mesh import Mesh
+from st3d.core.cameras import FoVPerspectiveCameras
+from st3d.render.rasterize import (
+    Fragments,
+    RasterizationSettings,
+    face_verts_screen,
+    rasterize,
+)
+from st3d.render.shading import shade_textured
+
+
+def render_rgba(
+    mesh: Mesh,
+    cameras: FoVPerspectiveCameras,
+    settings: RasterizationSettings,
+) -> jnp.ndarray:
+    """Render every camera; returns (N, H, W, 4) RGBA (white background,
+    alpha = coverage) — the same observable output as the reference's
+    ``renderer(meshes_world=mesh, cameras=cam)`` per view."""
+    fv = face_verts_screen(
+        mesh.verts, mesh.faces, cameras, settings.image_size
+    )  # (N, F, 3, 3)
+
+    def one_view(fv_view):
+        frags = rasterize(fv_view, settings)
+        return shade_textured(
+            fv_view,
+            frags.pix_to_face,
+            mesh.verts_uvs,
+            mesh.faces_uvs,
+            mesh.texture,
+        )
+
+    return jax.vmap(one_view)(fv)
+
+
+def render_meshes(
+    mesh: Mesh,
+    cameras: FoVPerspectiveCameras,
+    settings: RasterizationSettings,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference-shaped output (utils.py:65-77): images (N, 3, H, W) and
+    binary masks (N, 1, H, W) with mask = (alpha > 0)."""
+    rgba = render_rgba(mesh, cameras, settings)
+    images = jnp.transpose(rgba[..., :3], (0, 3, 1, 2))
+    masks = (rgba[..., 3:4] > 0).astype(images.dtype)
+    masks = jnp.transpose(masks, (0, 3, 1, 2))
+    return images, masks

@@ -1,0 +1,141 @@
+"""Differentiable shading epilogue: barycentric recompute, UV interpolation,
+texture sampling, ambient shading and background compositing.
+
+Replaces the capability of PyTorch3D's ``SoftPhongShader`` + ``AmbientLights``
++ ``TexturesUV`` sampling as configured by the reference
+(first_approach.py:108-113; SURVEY.md D5/D6): with ambient-only lights the
+Phong model collapses to "pixel = sampled texel", softmax-blended onto a
+white background with alpha = coverage.
+
+Everything here is plain XLA and differentiable: given the non-differentiable
+``pix_to_face`` from the rasterizer, barycentrics are recomputed from the
+(differentiable) projected vertices, so ``jax.grad`` delivers exact gradients
+w.r.t. both the texture atlas (a bilinear scatter-add, the gradient that
+drives texture optimization) and the vertex positions (through barycentric /
+projection derivatives) — the same gradient surface PyTorch3D's hard
+rasterizer exposes.
+
+Texture convention (PyTorch3D TexturesUV defaults, SURVEY.md D6): uv (0,0) is
+the BOTTOM-left of the texture image (V axis flipped relative to image rows),
+bilinear sampling with align_corners=True and border padding.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from st3d.render.rasterize import AREA_EPS
+
+
+def recompute_barycentrics(
+    face_verts: jnp.ndarray,      # (F, 3, 3) screen verts, differentiable
+    pix_to_face: jnp.ndarray,     # (H, W) int32, -1 = background
+) -> jnp.ndarray:
+    """Perspective-correct barycentrics of each pixel in its winning face.
+
+    Returns (H, W, 3); arbitrary values where pix_to_face < 0 (mask later).
+    Differentiable w.r.t. ``face_verts``; the integer ids act as constants,
+    which is exactly the hard-rasterization gradient semantics.
+    """
+    h, w = pix_to_face.shape
+    safe = jnp.maximum(pix_to_face, 0)
+    tri = face_verts[safe]  # (H, W, 3, 3)
+
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    py, px = jnp.meshgrid(ys, xs, indexing="ij")
+
+    x0, y0, z0 = tri[..., 0, 0], tri[..., 0, 1], tri[..., 0, 2]
+    x1, y1, z1 = tri[..., 1, 0], tri[..., 1, 1], tri[..., 1, 2]
+    x2, y2, z2 = tri[..., 2, 0], tri[..., 2, 1], tri[..., 2, 2]
+
+    w0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    w1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
+    w2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    denom_a = jnp.where(jnp.abs(area) > AREA_EPS, area, AREA_EPS)
+    b = jnp.stack([w0, w1, w2], axis=-1) / denom_a[..., None]
+
+    # Perspective correction: weight by 1/z and renormalize.
+    z = jnp.stack([z0, z1, z2], axis=-1)
+    bw = b / jnp.maximum(z, 1e-8)
+    denom = jnp.sum(bw, axis=-1, keepdims=True)
+    return bw / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+
+
+def interpolate_face_attributes(
+    attrs: jnp.ndarray,           # (F, 3, D) per-face-vertex attributes
+    pix_to_face: jnp.ndarray,     # (H, W)
+    barycentrics: jnp.ndarray,    # (H, W, 3)
+) -> jnp.ndarray:
+    """(H, W, D) barycentric interpolation of per-corner attributes."""
+    safe = jnp.maximum(pix_to_face, 0)
+    a = attrs[safe]  # (H, W, 3, D)
+    return jnp.sum(a * barycentrics[..., None], axis=-2)
+
+
+def sample_texture(
+    texture: jnp.ndarray,         # (Ht, Wt, 3), row 0 = top
+    uv: jnp.ndarray,              # (..., 2) with v=0 at the bottom
+    align_corners: bool = True,
+) -> jnp.ndarray:
+    """Differentiable bilinear texture sampling with border padding and the
+    TexturesUV V-flip. Gradient w.r.t. ``texture`` is a bilinear scatter-add
+    into the atlas (via XLA autodiff of the gathers)."""
+    ht, wt = texture.shape[0], texture.shape[1]
+    u = uv[..., 0]
+    v = uv[..., 1]
+    if align_corners:
+        x = u * (wt - 1)
+        y = (1.0 - v) * (ht - 1)
+    else:
+        x = u * wt - 0.5
+        y = (1.0 - v) * ht - 0.5
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    def _at(yi, xi):
+        yi = jnp.clip(yi, 0, ht - 1).astype(jnp.int32)
+        xi = jnp.clip(xi, 0, wt - 1).astype(jnp.int32)
+        return texture[yi, xi]
+
+    t00 = _at(y0, x0)
+    t01 = _at(y0, x0 + 1)
+    t10 = _at(y0 + 1, x0)
+    t11 = _at(y0 + 1, x0 + 1)
+    top = t00 * (1 - fx)[..., None] + t01 * fx[..., None]
+    bot = t10 * (1 - fx)[..., None] + t11 * fx[..., None]
+    return top * (1 - fy)[..., None] + bot * fy[..., None]
+
+
+def shade_textured(
+    face_verts: jnp.ndarray,      # (F, 3, 3) screen verts (differentiable)
+    pix_to_face: jnp.ndarray,     # (H, W)
+    verts_uvs: jnp.ndarray,       # (Vt, 2)
+    faces_uvs: jnp.ndarray,       # (F, 3)
+    texture: jnp.ndarray,         # (Ht, Wt, 3)
+    background_color: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+) -> jnp.ndarray:
+    """Ambient-shaded RGBA image (H, W, 4): texel color where covered,
+    ``background_color`` elsewhere, alpha = hard coverage.
+
+    Matches the reference's effective shader: ambient-only lights make Phong
+    == texel lookup; BlendParams' default background is white so
+    ``apply_background('white')`` is a no-op (reference utils.py:29-30), and
+    the mask is alpha > 0 (utils.py:72).
+    """
+    bary = recompute_barycentrics(face_verts, pix_to_face)
+    face_uv = verts_uvs[faces_uvs]  # (F, 3, 2)
+    uv = interpolate_face_attributes(face_uv, pix_to_face, bary)  # (H, W, 2)
+    rgb = sample_texture(texture, uv)  # (H, W, 3)
+    mask = (pix_to_face >= 0)[..., None]
+    bg = jnp.asarray(background_color, rgb.dtype)
+    rgb = jnp.where(mask, rgb, bg)
+    alpha = mask.astype(rgb.dtype)
+    return jnp.concatenate([rgb, alpha], axis=-1)

@@ -1,0 +1,130 @@
+"""VGG-19 parity vs torch CPU (SURVEY.md §4 item 5).
+
+torchvision isn't installed here, so the torch side is a hand-built
+Sequential with the exact VGG-19 "features" layout, loaded with the SAME
+weights as the JAX side — this validates the conv stack, pooling, tap
+indices and pre-ReLU semantics independent of pretrained weight values.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from st3d.models.vgg import (
+    VGG19_CFG,
+    TAP_CONV_INDEX,
+    get_features,
+    get_vgg,
+    init_random_vgg19,
+    load_vgg19_npz,
+)
+
+torch = pytest.importorskip("torch")
+
+
+def build_torch_vgg19_features(model):
+    """nn.Sequential replica of torchvision vgg19().features with st3d
+    weights copied in (HWIO -> OIHW)."""
+    import torch.nn as nn
+
+    layers = []
+    c_in = 3
+    conv_i = 0
+    for v in VGG19_CFG:
+        if v == "M":
+            layers.append(nn.MaxPool2d(kernel_size=2, stride=2))
+            continue
+        conv = nn.Conv2d(c_in, int(v), kernel_size=3, padding=1)
+        w = np.asarray(model.kernels[conv_i])  # HWIO
+        b = np.asarray(model.biases[conv_i])
+        with torch.no_grad():
+            conv.weight.copy_(torch.from_numpy(np.transpose(w, (3, 2, 0, 1))))
+            conv.bias.copy_(torch.from_numpy(b))
+        layers.append(conv)
+        layers.append(nn.ReLU(inplace=False))
+        c_in = int(v)
+        conv_i += 1
+    return nn.Sequential(*layers)
+
+
+def torch_get_features(image, seq):
+    """The reference's get_features traversal (style_transfer.py:10-27):
+    tap right after the module at the named torchvision indices."""
+    layers = {
+        "0": "conv1_1", "5": "conv2_1", "10": "conv3_1",
+        "19": "conv4_1", "21": "conv4_2", "28": "conv5_1",
+    }
+    features = {}
+    x = image
+    for name, layer in seq._modules.items():
+        x = layer(x)
+        if name in layers:
+            features[layers[name]] = x
+    return features
+
+
+def test_sequential_indices_match_torchvision_layout():
+    model = init_random_vgg19(seed=0)
+    seq = build_torch_vgg19_features(model)
+    # torchvision vgg19 features: convs at 0,2,5,7,10,12,14,16,19,21,...
+    import torch.nn as nn
+
+    conv_idx = [i for i, m in enumerate(seq) if isinstance(m, nn.Conv2d)]
+    assert conv_idx[:9] == [0, 2, 5, 7, 10, 12, 14, 16, 19]
+    assert conv_idx[9] == 21 and conv_idx[12] == 28
+    assert len(conv_idx) == 16
+    # Our named taps sit at the right torchvision indices.
+    for name, ci in TAP_CONV_INDEX.items():
+        assert isinstance(seq[conv_idx[ci]], nn.Conv2d), name
+
+
+@pytest.mark.parametrize("hw", [32, 67])  # odd size exercises floor pooling
+def test_features_match_torch(hw):
+    model = init_random_vgg19(seed=1)
+    seq = build_torch_vgg19_features(model).eval()
+    rng = np.random.RandomState(0)
+    img = rng.rand(2, 3, hw, hw).astype(np.float32)
+
+    with torch.no_grad():
+        want = torch_get_features(torch.from_numpy(img), seq)
+    got = get_features(jnp.asarray(img), model)
+
+    assert set(got) == set(want)
+    for name in want:
+        w = want[name].numpy()
+        g = np.asarray(got[name])
+        assert g.shape == w.shape, name
+        err = np.abs(g - w).max()
+        scale = max(np.abs(w).max(), 1.0)
+        assert err / scale < 1e-4, f"{name}: {err} vs scale {scale}"
+
+
+def test_get_vgg_fallback_warns_and_is_deterministic():
+    import warnings
+
+    import st3d.models.vgg as vggmod
+
+    vggmod._warned_random = False
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        m1 = get_vgg()
+    assert any("pretrained" in str(r.message).lower() or
+               "random" in str(r.message).lower() for r in rec)
+    m2 = init_random_vgg19()
+    for a, b in zip(m1.kernels, m2.kernels):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_npz_roundtrip(tmp_path):
+    model = init_random_vgg19(seed=2)
+    arrays = {}
+    for i, (k, b) in enumerate(zip(model.kernels, model.biases)):
+        arrays[f"conv{i}_kernel"] = np.asarray(k)
+        arrays[f"conv{i}_bias"] = np.asarray(b)
+    p = tmp_path / "w.npz"
+    np.savez(p, **arrays)
+    loaded = load_vgg19_npz(str(p))
+    img = jnp.asarray(np.random.RandomState(3).rand(1, 3, 32, 32), jnp.float32)
+    a = get_features(img, model)["conv5_1"]
+    b = get_features(img, loaded)["conv5_1"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
