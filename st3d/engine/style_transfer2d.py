@@ -1,0 +1,105 @@
+"""The 2D neural style-transfer engine (Gatys-style, VGG Gram losses).
+
+Replaces the reference's ``style_transfer`` (style_transfer.py:38-85): Adam
+directly on the pixel tensor against content loss (conv4_2 MSE) + the
+quirk-exact style Gram losses. Differences that change performance but not
+results (SURVEY.md §3.4/§3.5):
+
+  * Content features and style Grams are computed once and reused (the
+    reference also hoists these — parity).
+  * The whole optimization runs as a jitted ``lax.scan`` over step chunks
+    with donated buffers — no per-step host round trip, no Python loop over
+    3000 steps, and (unlike the reference's ``get_features``) the VGG stops
+    at conv5_1 instead of running all 37 modules.
+  * Output is NOT clamped (parity: the caller clamps via finalize_tensor,
+    first_approach.py:182).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from st3d.models.vgg import VGG19, get_features
+from st3d.ops.losses import StyleContentTargets, style_content_loss
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "lr"), donate_argnums=(0, 1))
+def _scan_steps(imgs, opt_state, targets, model, style_weight,
+                content_weight, steps: int, lr: float):
+    opt = optax.adam(lr)
+
+    def loss_fn(x):
+        feats = get_features(x, model)
+        return style_content_loss(feats, targets, style_weight, content_weight)
+
+    def step(carry, _):
+        x, st = carry
+        loss, grads = jax.value_and_grad(loss_fn)(x)
+        updates, st = opt.update(grads, st, x)
+        x = optax.apply_updates(x, updates)
+        return (x, st), loss
+
+    (imgs, opt_state), losses = jax.lax.scan(
+        step, (imgs, opt_state), None, length=steps
+    )
+    return imgs, opt_state, losses
+
+
+def style_transfer(
+    initial_optimized_imgs: jnp.ndarray,
+    content_imgs: jnp.ndarray,
+    style_imgs: jnp.ndarray,
+    model: VGG19,
+    steps: int = 2000,
+    style_weight: float = 1e6,
+    content_weight: float = 1.0,
+    lr: float = 0.003,
+    chunk: int = 100,
+    progress: bool = True,
+) -> jnp.ndarray:
+    """Optimize ``initial_optimized_imgs`` (B, 3, H, W) toward the style of
+    ``style_imgs`` and the content of ``content_imgs``. Reference signature
+    and defaults (style_transfer.py:38)."""
+    assert (
+        initial_optimized_imgs.shape[0]
+        == content_imgs.shape[0]
+        == style_imgs.shape[0]
+    )
+    targets = StyleContentTargets.create(content_imgs, style_imgs, model)
+
+    # Copy (reference clone().detach(), style_transfer.py:54): the scan
+    # donates its input buffers, and the caller's array must stay valid.
+    imgs = jnp.array(initial_optimized_imgs, dtype=jnp.float32, copy=True)
+    opt_state = optax.adam(lr).init(imgs)
+
+    chunks = []
+    remaining = steps
+    while remaining > 0:
+        chunks.append(min(chunk, remaining))
+        remaining -= chunks[-1]
+
+    iterator = chunks
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            iterator = tqdm(chunks, desc="2D Style Transfer")
+        except ImportError:
+            pass
+
+    last_loss = None
+    for n in iterator:
+        imgs, opt_state, losses = _scan_steps(
+            imgs, opt_state, targets, model,
+            jnp.float32(style_weight), jnp.float32(content_weight),
+            n, lr,
+        )
+        last_loss = losses[-1]
+        if progress and hasattr(iterator, "set_postfix"):
+            iterator.set_postfix(loss=float(last_loss))
+    return imgs

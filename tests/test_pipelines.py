@@ -1,0 +1,151 @@
+"""Integration tests (SURVEY.md §4 item 4): tiny end-to-end runs of both
+pipelines asserting loss decrease and the reference's output artifact
+layout, plus checkpoint/resume and the 2D engine in isolation."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from st3d.engine.config import (
+    PipelineConfig,
+    parse_first_approach,
+    parse_second_approach,
+)
+from st3d.engine.pipelines import run_first_approach, run_second_approach
+from st3d.engine.style_transfer2d import style_transfer
+from st3d.models.vgg import init_random_vgg19
+
+REF = "/root/reference/objects/cow_mesh/cow.obj"
+STYLE = "/root/reference/imgs/Style_1.jpg"
+HAVE_ASSETS = os.path.isfile(REF) and os.path.isfile(STYLE)
+
+
+def _tiny_cfg(tmp_path, **kw):
+    base = dict(
+        obj_path=REF,
+        style_path=STYLE,
+        n_views=2,
+        batch_size=2,
+        size=64,
+        output_path=str(tmp_path / "out"),
+        raster_backend="xla",
+        n_style_transfer_steps=5,
+        n_mse_steps=8,
+        epochs=4,
+        randomize_views=False,
+        save_intermediate=False,
+        seed=0,
+    )
+    base.update(kw)
+    return PipelineConfig(**base)
+
+
+def _read_log(path):
+    with open(path) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == "Logger:"
+    return lines[1:]
+
+
+@pytest.mark.skipif(not HAVE_ASSETS, reason="reference assets absent")
+def test_first_approach_end_to_end(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    run_first_approach(cfg)
+    out = cfg.output_path
+    lines = _read_log(os.path.join(out, "log.txt"))
+    assert len(lines) == cfg.n_mse_steps
+    assert lines[0].startswith("Batch 0, Step 0, Loss ")
+    losses = [float(l.rsplit(" ", 1)[1]) for l in lines]
+    assert losses[-1] < losses[0]  # monotone-ish decrease over the run
+    # Artifacts (reference layout).
+    assert os.path.isfile(os.path.join(out, "2d_style_transfer/view_0.png"))
+    assert os.path.isfile(os.path.join(out, "2d_style_transfer/view_1.png"))
+    for i in range(12):
+        assert os.path.isfile(os.path.join(out, f"final_render/view_{i}.png"))
+    assert os.path.isfile(os.path.join(out, "final.obj"))
+    assert os.path.isfile(os.path.join(out, "final.mtl"))
+    assert os.path.isfile(os.path.join(out, "metrics.jsonl"))
+
+
+@pytest.mark.skipif(not HAVE_ASSETS, reason="reference assets absent")
+def test_second_approach_end_to_end(tmp_path):
+    cfg = _tiny_cfg(tmp_path, save_intermediate=True)
+    run_second_approach(cfg)
+    out = cfg.output_path
+    lines = _read_log(os.path.join(out, "log.txt"))
+    assert len(lines) == cfg.epochs
+    assert lines[0].startswith("Epoch 0, Loss ")
+    losses = [float(l.rsplit(" ", 1)[1]) for l in lines]
+    assert losses[-1] < losses[0]
+    assert os.path.isfile(os.path.join(out, "current_images/view_0.png"))
+    assert os.path.isfile(os.path.join(out, "final.obj"))
+
+
+@pytest.mark.skipif(not HAVE_ASSETS, reason="reference assets absent")
+def test_second_approach_mesh_target_and_noise_bg(tmp_path):
+    cfg = _tiny_cfg(
+        tmp_path,
+        optimization_target="both",
+        content_background="noise",
+        current_background="noise",
+        epochs=2,
+    )
+    run_second_approach(cfg)
+    lines = _read_log(os.path.join(cfg.output_path, "log.txt"))
+    assert len(lines) == 2
+
+
+@pytest.mark.skipif(not HAVE_ASSETS, reason="reference assets absent")
+def test_checkpoint_resume(tmp_path):
+    cfg = _tiny_cfg(tmp_path, epochs=3, checkpoint_every=1)
+    run_second_approach(cfg)
+    ckpt = os.path.join(cfg.output_path, "checkpoint.npz")
+    assert os.path.isfile(ckpt)
+    # Resume with more epochs: starts from epoch 3.
+    cfg2 = _tiny_cfg(
+        tmp_path, epochs=5, checkpoint_every=1, resume=True
+    )
+    run_second_approach(cfg2)
+    lines = _read_log(os.path.join(cfg2.output_path, "log.txt"))
+    # Fresh log file only contains the resumed epochs.
+    assert lines[0].startswith("Epoch 3, ")
+    assert lines[-1].startswith("Epoch 4, ")
+
+
+def test_style_transfer_2d_reduces_loss():
+    vgg = init_random_vgg19(0)
+    rng = np.random.RandomState(0)
+    content = jnp.asarray(rng.rand(1, 3, 32, 32), jnp.float32)
+    style = jnp.asarray(rng.rand(1, 3, 32, 32), jnp.float32)
+    from st3d.ops.losses import compute_perceptual_loss
+
+    before = float(
+        compute_perceptual_loss(content, content, style, vgg, 1e6, 1.0)
+    )
+    out = style_transfer(content, content, style, vgg, steps=30, lr=0.02,
+                         progress=False)
+    after = float(
+        compute_perceptual_loss(out, content, style, vgg, 1e6, 1.0)
+    )
+    assert after < before
+    assert out.shape == content.shape
+
+
+def test_cli_flag_parsing_matches_reference_names():
+    cfg = parse_first_approach([
+        "--n_views", "4", "--n_mse_steps", "7", "--randomize_views", "False",
+        "--optimization_target", "both", "--style_transfer_init", "noise",
+        "--output_path", "/tmp/x",
+    ])
+    assert cfg.n_views == 4 and cfg.n_mse_steps == 7
+    assert cfg.randomize_views is False
+    assert cfg.optimization_target == "both"
+
+    cfg = parse_second_approach(["--epochs", "11", "--lr", "0.5"])
+    assert cfg.epochs == 11 and cfg.lr == 0.5
+
+    # The reference's type=bool footgun is fixed: garbage is rejected.
+    with pytest.raises(SystemExit):
+        parse_first_approach(["--randomize_views", "banana"])
