@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload (BASELINE.md target row): second-approach optimization steps —
+render cow from 4 fixed views @512², VGG perceptual (style+content) loss,
+Adam update of the 512² texture atlas — i.e. the reference's hot loop
+(second_approach.py:140-189) with targets hoisted.
+
+``vs_baseline`` compares against a measured CPU reference (the pure-jnp
+rasterizer + same VGG on the CPU backend — the reference publishes no
+numbers, BASELINE.md "Published reference numbers: none"). The CPU number is
+measured once by ``python bench.py --cpu-baseline`` (run in a subprocess so
+the TPU backend isn't disturbed) and cached in BASELINE_MEASURED.json.
+
+Extra detail (per-phase timings) goes to stderr; stdout carries only the
+JSON line.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
+
+SIZE = 512
+VIEWS = 4
+TIMED_STEPS = 20
+
+
+def build_step():
+    """(step_fn, params, opt_state, n_per_call) for the benchmark workload."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from st3d.core.cameras import build_fixed_cameras
+    from st3d.engine.config import PipelineConfig
+    from st3d.engine.optim import apply_params, setup_optimizations
+    from st3d.engine.pipelines import load_scene
+    from st3d.io.image import load_as_tensor
+    from st3d.models.vgg import get_features, get_vgg
+    from st3d.ops.losses import StyleContentTargets, style_content_loss
+    from st3d.render.rasterize import RasterizationSettings
+    from st3d.render.renderer import render_meshes
+    from st3d.utils.assets import resolve_asset
+
+    cfg = PipelineConfig(size=SIZE, n_views=VIEWS)
+    mesh = load_scene(cfg)
+    cams = build_fixed_cameras(VIEWS, shuffle=False)
+    settings = RasterizationSettings(image_size=SIZE, backend="auto")
+    vgg = get_vgg()
+    style = load_as_tensor(resolve_asset(cfg.style_path), SIZE)
+    style_b = jnp.broadcast_to(style[None], (VIEWS,) + style.shape)
+
+    content_imgs, _ = jax.jit(
+        lambda m, c: render_meshes(m, c, settings)
+    )(mesh, cams)
+    targets = StyleContentTargets.create(content_imgs, style_b, vgg)
+
+    params, optimizer, opt_state = setup_optimizations("texture", mesh, 0.01)
+
+    def loss_fn(p):
+        cur_imgs, _ = render_meshes(
+            apply_params(mesh, p), cams, settings
+        )
+        feats = get_features(cur_imgs, vgg)
+        return style_content_loss(feats, targets, 1e6, 1.0)
+
+    n_per_call = 5
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def steps(p, st):
+        def one(carry, _):
+            p, st = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, st = optimizer.update(grads, st, p)
+            p = optax.apply_updates(p, updates)
+            return (p, st), loss
+
+        (p, st), losses = jax.lax.scan(one, (p, st), None, length=n_per_call)
+        return p, st, losses
+
+    return steps, params, opt_state, n_per_call
+
+
+def measure(tag: str) -> dict:
+    import jax
+
+    t_setup = time.time()
+    steps, params, opt_state, n = build_step()
+    params, opt_state, losses = steps(params, opt_state)  # compile + warmup
+    losses.block_until_ready()
+    compile_s = time.time() - t_setup
+
+    t0 = time.time()
+    done = 0
+    while done < TIMED_STEPS:
+        params, opt_state, losses = steps(params, opt_state)
+        done += n
+    losses.block_until_ready()
+    dt = time.time() - t0
+    iters_per_sec = done / dt
+    views_per_sec = iters_per_sec * VIEWS
+    return {
+        "tag": tag,
+        "backend": jax.default_backend(),
+        "iters_per_sec": iters_per_sec,
+        "views_per_sec": views_per_sec,
+        "compile_s": compile_s,
+        "last_loss": float(losses[-1]),
+        "timed_steps": done,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu-baseline", action="store_true",
+                    help="measure the CPU reference and write the cache")
+    ap.add_argument("--refresh-baseline", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu_baseline:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        global TIMED_STEPS
+        TIMED_STEPS = 2  # CPU VGG at 512**2 is minutes/step; keep it short
+        res = measure("cpu_reference")
+        with open(CACHE, "w") as f:
+            json.dump(res, f, indent=1)
+        print(json.dumps(res), file=sys.stderr)
+        return 0
+
+    if not os.path.isfile(CACHE) or args.refresh_baseline:
+        print("measuring CPU baseline (one-time, cached)...", file=sys.stderr)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
+            check=True, cwd=REPO,
+        )
+
+    with open(CACHE) as f:
+        baseline = json.load(f)
+
+    res = measure("tpu")
+    print(json.dumps(res, indent=1), file=sys.stderr)
+    vs = res["iters_per_sec"] / max(baseline["iters_per_sec"], 1e-9)
+    print(json.dumps({
+        "metric": (
+            "2nd-approach optimization iters/sec (cow, 4 views @512^2, "
+            "texture target, VGG perceptual loss)"
+        ),
+        "value": round(res["iters_per_sec"], 3),
+        "unit": "iters/sec",
+        "vs_baseline": round(vs, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -41,7 +41,12 @@ from st3d.engine.background import apply_background
 from st3d.engine.config import PipelineConfig
 from st3d.engine.optim import apply_params, setup_optimizations
 from st3d.engine.style_transfer2d import style_transfer
-from st3d.io.image import load_as_tensor, resize_bilinear_chw, save_image
+from st3d.io.image import (
+    flush_images,
+    load_as_tensor,
+    resize_bilinear_chw,
+    save_image,
+)
 from st3d.io.obj import load_mesh, save_mesh
 from st3d.models.vgg import get_features, get_vgg
 from st3d.ops.losses import (
@@ -93,7 +98,8 @@ def save_render(mesh: Mesh, cameras, settings, path: str) -> None:
     )(mesh, cameras)
     arr = np.asarray(imgs)
     for i in range(arr.shape[0]):
-        save_image(arr[i], os.path.join(path, f"view_{i}.png"))
+        save_image(arr[i], os.path.join(path, f"view_{i}.png"), async_=True)
+    flush_images()
 
 
 def _maybe_profile(cfg: PipelineConfig):
@@ -204,6 +210,7 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
                 arr[j],
                 os.path.join(cfg.output_path, "2d_style_transfer",
                              f"view_{i * cfg.batch_size + j}.png"),
+                async_=True,
             )
 
         # MSE optimization toward the 2D-stylized targets, through the
@@ -228,6 +235,7 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
     save_render(final, build_fixed_cameras(12, seed=cfg.seed), settings,
                 os.path.join(cfg.output_path, "final_render"))
     save_mesh(final, os.path.join(cfg.output_path, "final.obj"))
+    flush_images()
     logger.close()
     return final
 
@@ -351,6 +359,7 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
                             cfg.output_path, "current_images",
                             f"view_{bi * cfg.batch_size + j}.png",
                         ),
+                        async_=True,
                     )
         logger.log_epoch(epoch, total_loss)
         if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
@@ -361,5 +370,6 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
     save_render(final, build_fixed_cameras(12, seed=cfg.seed), settings,
                 os.path.join(cfg.output_path, "final_render"))
     save_mesh(final, os.path.join(cfg.output_path, "final.obj"))
+    flush_images()
     logger.close()
     return final

@@ -37,9 +37,41 @@ def tensor_to_image(tensor) -> Image.Image:
     return Image.fromarray(arr)
 
 
-def save_image(tensor, path: str) -> None:
+def save_image(tensor, path: str, async_: bool = False) -> None:
+    """Save a (3, H, W) [0,1] tensor as PNG/JPEG.
+
+    ``async_=True`` queues the write on the native C++ writer pool
+    (native/st3d_native.cpp) so the training loop never blocks on image IO
+    — the reference writes PNGs synchronously inside its hot loop
+    (second_approach.py:183-185). Call :func:`flush_images` before relying
+    on the files. Non-PNG extensions and missing native lib fall back to
+    PIL synchronously.
+    """
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if path.lower().endswith(".png"):
+        arr = np.asarray(tensor)
+        if arr.ndim == 4:
+            arr = arr[0]
+        rgb8 = (np.clip(np.transpose(arr, (1, 2, 0)), 0.0, 1.0) * 255.0
+                + 0.5).astype(np.uint8)
+        try:
+            from st3d.io.native import write_png
+
+            if write_png(path, rgb8, async_=async_):
+                return
+        except Exception:
+            pass
     tensor_to_image(tensor).save(path)
+
+
+def flush_images() -> int:
+    """Wait for queued async image writes; returns failed-write count."""
+    try:
+        from st3d.io.native import flush
+
+        return flush()
+    except Exception:
+        return 0
 
 
 def resize_bilinear_chw(image: jnp.ndarray, size: int) -> jnp.ndarray:

@@ -80,13 +80,44 @@ def _load_image(path: str) -> np.ndarray:
     return np.asarray(img, dtype=np.float32) / 255.0
 
 
-def load_obj(path: str, load_textures: bool = True) -> ObjData:
+def load_obj(path: str, load_textures: bool = True,
+             use_native: bool = True) -> ObjData:
     """Parse an OBJ file (plus its MTL textures).
 
     Matches pytorch3d.io.load_obj's observable behavior for the reference's
     usage: triangulates polygons by fanning, returns verts/faces/uv arrays and
     a dict of texture images keyed by material name.
+
+    Geometry parsing goes through the native C++ parser
+    (native/st3d_native.cpp, ~15x faster) when its library is available;
+    this Python parser is the golden fallback (tests assert equality).
     """
+    if use_native:
+        try:
+            from st3d.io.native import parse_obj_native
+
+            nat = parse_obj_native(path)
+        except Exception:
+            nat = None
+        if nat is not None:
+            texture_images: Dict[str, np.ndarray] = {}
+            material_paths: Dict[str, str] = {}
+            if load_textures and nat["mtllib"]:
+                base = os.path.dirname(os.path.abspath(path))
+                material_paths = _parse_mtl(os.path.join(base, nat["mtllib"]))
+                for name, img_path in material_paths.items():
+                    if os.path.isfile(img_path):
+                        texture_images[name] = _load_image(img_path)
+            return ObjData(
+                verts=nat["verts"],
+                faces=nat["faces"],
+                verts_uvs=nat["verts_uvs"],
+                faces_uvs=nat["faces_uvs"],
+                normals=nat["normals"],
+                faces_normals=nat["faces_normals"],
+                texture_images=texture_images,
+                material_names=material_paths,
+            )
     verts, uvs, normals = [], [], []
     tri_v, tri_vt, tri_vn = [], [], []
     mtl_files = []

@@ -1,0 +1,300 @@
+"""Pallas TPU rasterization kernel — the production visibility pass.
+
+Replaces the C++/CUDA ``rasterize_meshes`` kernel inside PyTorch3D's
+``MeshRasterizer`` (SURVEY.md D4, "the one true native component") with a
+tiled TPU kernel.
+
+Pipeline:
+  1. XLA preprocessing (:func:`face_coeffs`) turns each projected face into
+     12 affine coefficients: the three edge functions pre-divided by the
+     signed area (so their values ARE the screen barycentrics) and the
+     1/z plane (1/z is affine in screen space). Invalid faces (behind
+     camera, degenerate, padding) get coefficients that can never cover a
+     pixel. Layout is structure-of-arrays (12, F_pad) so face chunks are
+     contiguous lanes.
+  2. Faces are y-SORTED (by topmost screen row) before chunking, and each
+     chunk's [ymin, ymax] row band rides along in SMEM. The kernel grid
+     walks flat (TILE_PIXELS, 1) pixel blocks; per block it loops over face
+     chunks, SKIPPING (``pl.when``) chunks whose row band misses the block's
+     rows — this culling is worth ~7-10x on real meshes. Per surviving
+     (pixel, face) pair the work is 8 FMAs + 3 compares; visibility keeps a
+     running max of 1/z (monotone in depth, no division in the loop) in VMEM
+     scratch, with tie-break == first face in sorted order.
+  3. Output: pix_to_face (H, W) int32 (-1 background, ids mapped back to the
+     original face order) and zbuf (H, W). Barycentrics are NOT produced
+     here — the differentiable epilogue
+     (st3d.render.shading.recompute_barycentrics) recomputes them in XLA, so
+     the kernel needs no custom VJP (see st3d/render/rasterize.py docstring).
+
+The pixel x face interaction is quadratic; this kernel streams it through
+VMEM blockwise (the same structural trick as blockwise attention,
+SURVEY.md §5 "Long-context"). Measured on TPU v5e vs the chunked-XLA
+backend (cow, 5856 faces): 512**2 4.9 ms vs 67 ms, 768**2 9.4 ms vs 150 ms
+per view.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from st3d.render.rasterize import AREA_EPS, BIG_Z, Z_EPS, Fragments
+
+TILE_PIXELS = 1024
+FACE_CHUNK = 128
+
+
+def face_coeffs(face_verts: jnp.ndarray) -> jnp.ndarray:
+    """(F, 3, 3) screen verts -> (12, F) affine coefficient planes.
+
+    Rows 0..8: (A, B, C) for barycentrics b0, b1, b2 with
+    b_k(px, py) = A_k*px + B_k*py + C_k (already divided by signed area —
+    covered iff all three >= 0 regardless of winding).
+    Rows 9..11: (Az, Bz, Cz) with 1/z(px, py) = Az*px + Bz*py + Cz.
+    """
+    x0, y0, z0 = face_verts[:, 0, 0], face_verts[:, 0, 1], face_verts[:, 0, 2]
+    x1, y1, z1 = face_verts[:, 1, 0], face_verts[:, 1, 1], face_verts[:, 1, 2]
+    x2, y2, z2 = face_verts[:, 2, 0], face_verts[:, 2, 1], face_verts[:, 2, 2]
+
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    valid = (
+        (z0 > Z_EPS) & (z1 > Z_EPS) & (z2 > Z_EPS)
+        & (jnp.abs(area) > AREA_EPS)
+    )
+    ia = jnp.where(valid, 1.0 / jnp.where(valid, area, 1.0), 0.0)
+
+    def edge(xa, ya, xb, yb):
+        # w(p) = (xb - xa)*(py - ya) - (yb - ya)*(px - xa), normalized.
+        a = -(yb - ya) * ia
+        b = (xb - xa) * ia
+        c = ((yb - ya) * xa - (xb - xa) * ya) * ia
+        return a, b, c
+
+    a0, b0, c0 = edge(x1, y1, x2, y2)   # w0: edge v1 -> v2
+    a1, b1, c1 = edge(x2, y2, x0, y0)   # w1: edge v2 -> v0
+    a2, b2, c2 = edge(x0, y0, x1, y1)   # w2: edge v0 -> v1
+
+    iz0 = 1.0 / jnp.maximum(z0, Z_EPS)
+    iz1 = 1.0 / jnp.maximum(z1, Z_EPS)
+    iz2 = 1.0 / jnp.maximum(z2, Z_EPS)
+    az = a0 * iz0 + a1 * iz1 + a2 * iz2
+    bz = b0 * iz0 + b1 * iz1 + b2 * iz2
+    cz = c0 * iz0 + c1 * iz1 + c2 * iz2
+
+    neg1 = jnp.full_like(c0, -1.0)
+    zero = jnp.zeros_like(c0)
+    coeffs = jnp.stack(
+        [
+            jnp.where(valid, a0, zero), jnp.where(valid, b0, zero),
+            jnp.where(valid, c0, neg1),
+            jnp.where(valid, a1, zero), jnp.where(valid, b1, zero),
+            jnp.where(valid, c1, neg1),
+            jnp.where(valid, a2, zero), jnp.where(valid, b2, zero),
+            jnp.where(valid, c2, neg1),
+            jnp.where(valid, az, zero), jnp.where(valid, bz, zero),
+            jnp.where(valid, cz, zero),
+        ],
+        axis=0,
+    )
+    return coeffs
+
+
+def _raster_kernel(bounds_ref, coeffs_ref, p2f_ref, zbuf_ref,
+                   invz_scr, fid_scr, *, width: int,
+                   tile_pixels: int, face_chunk: int, n_chunks: int):
+    t = pl.program_id(1)  # pixel-tile index; grid dim 0 is the view batch
+    tp = tile_pixels
+
+    # Pixels are processed as a flat (TP, 1) block of row-major indices;
+    # px/py derive from the global flat index (Mosaic restricts reshapes
+    # between tiled layouts, so we never build a (H_t, W_t) <-> (TP, 1)
+    # cast inside the kernel — iota must also be integer here).
+    flat = t * tp + jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    py = (flat // width).astype(jnp.float32)
+    px = (flat % width).astype(jnp.float32)
+
+    # Row band covered by this tile, for chunk culling (faces are y-sorted;
+    # bounds_ref holds each chunk's [ymin, ymax] row range in SMEM).
+    row0 = ((t * tp) // width).astype(jnp.float32)
+    row1 = ((t * tp + (tp - 1)) // width).astype(jnp.float32)
+
+    invz_scr[:, :] = jnp.full((tp, 1), 0.0, jnp.float32)  # bg: invz <= 0
+    fid_scr[:, :] = jnp.full((tp, 1), -1, jnp.int32)
+
+    def body(c, _):
+        overlaps = (bounds_ref[0, 1, c] >= row0) & (bounds_ref[0, 0, c] <= row1)
+
+        @pl.when(overlaps)
+        def _():
+            start = pl.multiple_of(c * face_chunk, 128)
+            blk = coeffs_ref[0, :, pl.ds(start, face_chunk)]  # (12, FC)
+            b0 = px * blk[0:1, :] + py * blk[1:2, :] + blk[2:3, :]
+            b1 = px * blk[3:4, :] + py * blk[4:5, :] + blk[5:6, :]
+            b2 = px * blk[6:7, :] + py * blk[7:8, :] + blk[8:9, :]
+            invz = px * blk[9:10, :] + py * blk[10:11, :] + blk[11:12, :]
+            covered = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0)
+            mz = jnp.where(covered, invz, -1.0)  # (TP, FC)
+            cmax = jnp.max(mz, axis=1, keepdims=True)
+            carg = jnp.argmax(mz, axis=1, keepdims=True).astype(jnp.int32)
+            # Strict '>' keeps the earlier chunk on depth ties; argmax keeps
+            # the first (lowest) index within a chunk -> lowest-id tie-break
+            # in the sorted order.
+            best = invz_scr[:, :]
+            better = cmax > best
+            fid_scr[:, :] = jnp.where(
+                better, c * face_chunk + carg, fid_scr[:, :]
+            )
+            invz_scr[:, :] = jnp.maximum(best, cmax)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+    best_invz = invz_scr[:, :]
+    hit = best_invz > 0.0
+    p2f_ref[0, :, :] = jnp.where(hit, fid_scr[:, :], -1)
+    zbuf_ref[0, :, :] = jnp.where(
+        hit, 1.0 / jnp.maximum(best_invz, 1e-12), BIG_Z
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _rasterize_pallas_impl(
+    face_verts: jnp.ndarray,      # (N, F, 3, 3)
+    image_size: int,
+    face_chunk: int,
+    interpret: bool,
+) -> Fragments:
+    # Defensive: XLA's constant folder on this stack miscomputes the
+    # vmapped preprocessing (batched gather) when face_verts is a jit
+    # closure constant, which silently empties the raster output. The
+    # barrier forces runtime evaluation of everything downstream.
+    face_verts = jax.lax.optimization_barrier(face_verts)
+    n, f = face_verts.shape[0], face_verts.shape[1]
+    h = w = image_size
+    tile_pixels = min(1024, h * w)
+    assert (h * w) % tile_pixels == 0, (
+        f"image pixel count {h*w} must be divisible by {tile_pixels}"
+    )
+
+    # Chunk must be a multiple of 128 lanes (VMEM dynamic-slice alignment).
+    fc = max(128, (face_chunk // 128) * 128) if not interpret else min(
+        face_chunk, max(f, 8)
+    )
+    n_chunks = -(-f // fc)
+    f_pad = n_chunks * fc
+
+    def preprocess(fv):
+        # y-sort binning: sort faces by topmost screen row so consecutive
+        # chunks cover narrow row bands; tiles then skip chunks outside
+        # their rows. Stable sort preserves the lowest-original-id
+        # tie-break for coincident depths (identical faces keep order).
+        zs = fv[:, :, 2]
+        ys = fv[:, :, 1]
+        x0, y0_ = fv[:, 0, 0], fv[:, 0, 1]
+        x1, y1_ = fv[:, 1, 0], fv[:, 1, 1]
+        x2, y2_ = fv[:, 2, 0], fv[:, 2, 1]
+        area = (x1 - x0) * (y2_ - y0_) - (y1_ - y0_) * (x2 - x0)
+        valid = jnp.all(zs > Z_EPS, axis=1) & (jnp.abs(area) > AREA_EPS)
+        ymin = jnp.where(valid, jnp.min(ys, axis=1), jnp.inf)
+        ymax = jnp.where(valid, jnp.max(ys, axis=1), -jnp.inf)
+        order = jnp.argsort(ymin, stable=True)  # invalid faces sort last
+
+        coeffs = face_coeffs(fv[order])  # (12, F) sorted
+        ymin_s = ymin[order]
+        ymax_s = ymax[order]
+        pad = f_pad - f
+        if pad:
+            # Padding faces: zero A/B, C=-1 -> never covered.
+            pad_col = jnp.zeros((12, pad), coeffs.dtype)
+            pad_col = pad_col.at[2].set(-1.0)
+            coeffs = jnp.concatenate([coeffs, pad_col], axis=1)
+            ymin_s = jnp.concatenate([ymin_s, jnp.full((pad,), jnp.inf)])
+            ymax_s = jnp.concatenate([ymax_s, jnp.full((pad,), -jnp.inf)])
+
+        chunk_ymin = jnp.min(ymin_s.reshape(n_chunks, fc), axis=1)
+        chunk_ymax = jnp.max(ymax_s.reshape(n_chunks, fc), axis=1)
+        bounds = jnp.stack([chunk_ymin, chunk_ymax], axis=0)  # (2, n_chunks)
+        return coeffs, bounds, order
+
+    coeffs, bounds, order = jax.vmap(preprocess)(face_verts)
+
+    # Views ride grid dim 0 natively rather than through vmap-of-pallas_call
+    # (whose batching rule miscompiles under autodiff on this stack: vmapped
+    # + differentiated kernels silently returned empty coverage).
+    grid = (n, (h * w) // tile_pixels)
+    kernel = functools.partial(
+        _raster_kernel, width=w, tile_pixels=tile_pixels, face_chunk=fc,
+        n_chunks=n_chunks,
+    )
+    p2f, zbuf = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2, n_chunks), lambda v, t: (v, 0, 0),
+                         memory_space=pltpu.SMEM),
+            # This view's coefficient array resident in VMEM for every tile.
+            pl.BlockSpec((1, 12, f_pad), lambda v, t: (v, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile_pixels, 1), lambda v, t: (v, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_pixels, 1), lambda v, t: (v, t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, h * w, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, h * w, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_pixels, 1), jnp.float32),
+            pltpu.VMEM((tile_pixels, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(bounds, coeffs)
+
+    # Map sorted ids back to original face ids (per view).
+    p2f = p2f.reshape(n, h, w)
+    p2f = jnp.where(
+        p2f >= 0,
+        jnp.take_along_axis(
+            order.astype(jnp.int32), p2f.reshape(n, -1), axis=1
+        ).reshape(n, h, w),
+        -1,
+    )
+    return Fragments(pix_to_face=p2f, zbuf=zbuf.reshape(n, h, w))
+
+
+def rasterize_pallas_batched(
+    face_verts: jnp.ndarray,      # (N, F, 3, 3)
+    image_size: int,
+    face_chunk: int = FACE_CHUNK,
+) -> Fragments:
+    """Rasterize a batch of views in one kernel launch (views = grid dim 0).
+
+    This is the path the renderer uses for vmap-over-views: do NOT wrap the
+    single-view entry in jax.vmap — pallas_call's batching rule combined
+    with autodiff produced silently-wrong (empty) output on TPU.
+    """
+    interpret = jax.default_backend() != "tpu"
+    return _rasterize_pallas_impl(face_verts, image_size, face_chunk,
+                                  interpret)
+
+
+def rasterize_pallas(
+    face_verts: jnp.ndarray,      # (F, 3, 3)
+    image_size: int,
+    face_chunk: int = FACE_CHUNK,
+) -> Fragments:
+    """Rasterize one view. Falls back to interpret mode off-TPU (tests)."""
+    frags = rasterize_pallas_batched(
+        face_verts[None], image_size, face_chunk
+    )
+    return Fragments(
+        pix_to_face=frags.pix_to_face[0], zbuf=frags.zbuf[0]
+    )

@@ -212,31 +212,54 @@ def rasterize_xla(
     )
 
 
+def resolve_backend(settings: RasterizationSettings) -> str:
+    backend = settings.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend not in ("bruteforce", "xla", "pallas"):
+        raise ValueError(f"unknown rasterizer backend {backend!r}")
+    return backend
+
+
 def rasterize(
     face_verts: jnp.ndarray,
     settings: RasterizationSettings,
 ) -> Fragments:
-    """Dispatch to the configured backend. ``auto`` picks the Pallas TPU
-    kernel on TPU and the XLA scan elsewhere."""
-    backend = settings.backend
-    if backend == "auto":
-        if jax.default_backend() == "tpu":
-            try:
-                from st3d.kernels import raster_pallas  # noqa: F401
-                backend = "pallas"
-            except ImportError:
-                backend = "xla"
-        else:
-            backend = "xla"
-    if backend == "bruteforce":
-        return rasterize_bruteforce(face_verts, settings.image_size)
-    if backend == "xla":
-        return rasterize_xla(face_verts, settings.image_size)
-    if backend == "pallas":
-        from st3d.kernels.raster_pallas import rasterize_pallas
+    """Rasterize one view (F, 3, 3) with the configured backend."""
+    frags = rasterize_batch(face_verts[None], settings)
+    return Fragments(pix_to_face=frags.pix_to_face[0], zbuf=frags.zbuf[0])
 
-        return rasterize_pallas(face_verts, settings.image_size)
-    raise ValueError(f"unknown rasterizer backend {backend!r}")
+
+def rasterize_batch(
+    face_verts: jnp.ndarray,      # (N, F, 3, 3)
+    settings: RasterizationSettings,
+) -> Fragments:
+    """Rasterize a batch of views; Fragments fields get a leading N axis.
+
+    The Pallas backend batches natively (views ride the kernel grid). The
+    XLA backends batch through vmap. IMPORTANT: never wrap the Pallas path
+    in jax.vmap yourself — pallas_call's batching rule combined with
+    autodiff silently returned empty coverage on TPU; this entry point is
+    the supported batched API.
+    """
+    # Visibility is discrete: face ids carry no gradient (hard-raster
+    # semantics; vertex gradients flow through the differentiable bary
+    # recompute in shading.py instead). stop_gradient also keeps autodiff
+    # from trying to differentiate the Pallas kernel (no VJP defined) and
+    # prunes dead backward compute from the XLA backends.
+    face_verts = jax.lax.stop_gradient(face_verts)
+    backend = resolve_backend(settings)
+    if backend == "bruteforce":
+        return jax.vmap(
+            lambda fv: rasterize_bruteforce(fv, settings.image_size)
+        )(face_verts)
+    if backend == "xla":
+        return jax.vmap(
+            lambda fv: rasterize_xla(fv, settings.image_size)
+        )(face_verts)
+    from st3d.kernels.raster_pallas import rasterize_pallas_batched
+
+    return rasterize_pallas_batched(face_verts, settings.image_size)
 
 
 def face_verts_screen(

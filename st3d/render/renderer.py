@@ -20,7 +20,7 @@ from st3d.render.rasterize import (
     Fragments,
     RasterizationSettings,
     face_verts_screen,
-    rasterize,
+    rasterize_batch,
 )
 from st3d.render.shading import shade_textured
 
@@ -36,18 +36,16 @@ def render_rgba(
     fv = face_verts_screen(
         mesh.verts, mesh.faces, cameras, settings.image_size
     )  # (N, F, 3, 3)
+    # Visibility for the whole view batch in one (natively batched) raster
+    # call; only the differentiable shading epilogue is vmapped.
+    frags = rasterize_batch(fv, settings)
 
-    def one_view(fv_view):
-        frags = rasterize(fv_view, settings)
+    def one_view(fv_view, p2f):
         return shade_textured(
-            fv_view,
-            frags.pix_to_face,
-            mesh.verts_uvs,
-            mesh.faces_uvs,
-            mesh.texture,
+            fv_view, p2f, mesh.verts_uvs, mesh.faces_uvs, mesh.texture
         )
 
-    return jax.vmap(one_view)(fv)
+    return jax.vmap(one_view)(fv, frags.pix_to_face)
 
 
 def render_meshes(

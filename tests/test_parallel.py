@@ -1,0 +1,100 @@
+"""Multi-chip (8 virtual CPU devices) view-sharded data parallelism
+(SURVEY.md §4 item 6): SPMD step == single-device step on the same batch,
+and the driver's dryrun_multichip entry runs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from st3d.parallel.sharding import (
+    VIEW_AXIS,
+    make_device_mesh,
+    make_view_parallel_step,
+    replicate,
+    shard_views,
+)
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) >= 8
+
+
+def test_view_parallel_step_matches_single_device():
+    n_dev = 8
+    mesh = make_device_mesh(n_dev)
+
+    # Toy "views": quadratic loss whose gradient depends on per-view data.
+    data = jnp.arange(n_dev * 4, dtype=jnp.float32).reshape(n_dev, 4)
+    params = {"w": jnp.ones((4,))}
+    optimizer = optax.adam(0.1)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(p, x):
+        pred = x @ p["w"]
+        return jnp.mean(pred ** 2)
+
+    # Single-device reference update.
+    loss_ref, grads = jax.value_and_grad(loss_fn)(params, data)
+    updates, _ = optimizer.update(grads, opt_state, params)
+    params_ref = optax.apply_updates(params, updates)
+
+    # Sharded update.
+    step = make_view_parallel_step(loss_fn, optimizer, mesh, donate=False)
+    p_sh = replicate(params, mesh)
+    st_sh = replicate(opt_state, mesh)
+    x_sh = shard_views(data, mesh)
+    p_out, st_out, loss = step(p_sh, st_sh, x_sh)
+
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(p_out["w"]), np.asarray(params_ref["w"]), rtol=1e-6
+    )
+
+
+def test_render_step_sharded_over_views(sphere_mesh):
+    """Full render+texture-grad step sharded across 8 devices."""
+    from st3d.core.cameras import build_fixed_cameras, FoVPerspectiveCameras
+    from st3d.render.rasterize import RasterizationSettings
+    from st3d.render.renderer import render_meshes
+
+    n_dev = 8
+    mesh_dev = make_device_mesh(n_dev)
+    cams = build_fixed_cameras(n_dev, shuffle=False)
+    settings = RasterizationSettings(image_size=32, backend="xla")
+    target = jnp.zeros((1, 3, 32, 32))
+
+    def loss_fn(p, R, T):
+        local = FoVPerspectiveCameras.create(R=R, T=T)
+        imgs, masks = render_meshes(
+            sphere_mesh.replace(texture=p["tex"]), local, settings
+        )
+        return jnp.mean((imgs * masks - target) ** 2)
+
+    optimizer = optax.adam(0.01)
+    params = {"tex": sphere_mesh.texture}
+    opt_state = optimizer.init(params)
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(params, cams.R, cams.T)
+
+    step = make_view_parallel_step(loss_fn, optimizer, mesh_dev, donate=False)
+    p_out, st_out, loss = step(
+        replicate(params, mesh_dev),
+        replicate(opt_state, mesh_dev),
+        shard_views(cams.R, mesh_dev),
+        shard_views(cams.T, mesh_dev),
+    )
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+    assert float(jnp.abs(p_out["tex"] - params["tex"]).max()) > 0
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_mesh_too_many_devices_error():
+    with pytest.raises(ValueError, match="devices"):
+        make_device_mesh(len(jax.devices()) + 1)
