@@ -294,6 +294,65 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
 
     content_noise = cfg.content_background == "noise"
 
+    # --- data-parallel path: shard the view batch across all local devices
+    # (shard_map over a 'views' mesh axis; grads pmean over ICI). Loss
+    # semantics are identical: every term is a mean over the batch axis.
+    use_dp = cfg.data_parallel and len(jax.devices()) > 1
+    if use_dp:
+        from st3d.parallel.sharding import (
+            make_device_mesh,
+            make_view_parallel_step,
+            replicate,
+            shard_views,
+        )
+
+        dev_mesh = make_device_mesh()
+        n_dev = len(dev_mesh.devices)
+        for _, b0, b1 in _batches(cfg.n_views, cfg.batch_size):
+            if (b1 - b0) % n_dev != 0:
+                raise ValueError(
+                    f"data_parallel requires every view batch to divide the "
+                    f"{n_dev} devices; got batch of {b1 - b0} views "
+                    "(adjust --n_views/--batch_size)"
+                )
+
+        def dp_loss_fn(p, cam_R, cam_T, style_b, cimgs, cmasks, tgt, seeds):
+            # One shard of views per device; rig cameras use default
+            # intrinsics so R/T fully determine them.
+            local_cams = FoVPerspectiveCameras.create(R=cam_R, T=cam_T)
+            r1 = jax.random.PRNGKey(seeds[0])
+            r2 = jax.random.fold_in(r1, 1)
+            mesh2 = apply_params(content_mesh, p)
+            cur_imgs, cur_masks = render_meshes(mesh2, local_cams, settings)
+            cur = apply_background(
+                cur_imgs, cur_masks, cfg.current_background, style_b, r1
+            )
+            if content_noise:
+                content_b = apply_background(
+                    cimgs, cmasks, "noise", style_b, r2
+                )
+                cf = get_features(content_b, vgg, dtype=dtype)[CONTENT_LAYER]
+                tgt = tgt.replace(content_features=cf)
+            cur_feats = get_features(cur, vgg, dtype=dtype)
+            main = style_content_loss(
+                cur_feats, tgt, cfg.style_weight, cfg.content_weight
+            )
+            if cfg.optimization_target == "texture":
+                loss = main
+            else:
+                from st3d.ops.losses import mesh_regularizer_loss
+
+                loss = weights["main_loss_weight"] * main
+                loss += mesh_regularizer_loss(
+                    mesh2, p.get("verts", content_mesh.verts),
+                    content_mesh.verts, weights,
+                )
+            return loss, cur
+
+        dp_step = make_view_parallel_step(
+            dp_loss_fn, optimizer, dev_mesh, has_aux=True
+        )
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def epoch_step(p, st, rng, cams_b, style_b, content_imgs, content_masks,
                    targets):
@@ -341,14 +400,38 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
         )
         print(f"Resumed from epoch {start_epoch}")
 
+    if use_dp:
+        params = replicate(params, dev_mesh)
+        opt_state = replicate(opt_state, dev_mesh)
+        batch_const = [
+            tuple(shard_views(x, dev_mesh) for x in (
+                cams_b.R, cams_b.T, style_b, cimg, cmask, targets))
+            for (cams_b, style_b, cimg, cmask, targets) in batch_const
+        ]
+        step_counter = 0
+
     for epoch in range(start_epoch, cfg.epochs):
         total_loss = 0.0
-        for bi, (cams_b, style_b, cimg, cmask, targets) in enumerate(
-            batch_const
-        ):
-            params, opt_state, rng, loss, cur = epoch_step(
-                params, opt_state, rng, cams_b, style_b, cimg, cmask, targets
-            )
+        for bi, const in enumerate(batch_const):
+            if use_dp:
+                (cam_R, cam_T, style_b, cimg, cmask, targets) = const
+                seeds = jnp.asarray(
+                    cfg.seed + step_counter * 131071
+                    + jnp.arange(cam_R.shape[0]), jnp.uint32
+                )
+                from st3d.parallel.sharding import shard_views as _sv
+
+                params, opt_state, loss, cur = dp_step(
+                    params, opt_state, cam_R, cam_T, style_b, cimg, cmask,
+                    targets, _sv(seeds, dev_mesh),
+                )
+                step_counter += 1
+            else:
+                (cams_b, style_b, cimg, cmask, targets) = const
+                params, opt_state, rng, loss, cur = epoch_step(
+                    params, opt_state, rng, cams_b, style_b, cimg, cmask,
+                    targets,
+                )
             total_loss += float(loss)
             if cfg.save_intermediate:
                 arr = np.asarray(jnp.clip(cur, 0.0, 1.0))

@@ -56,6 +56,7 @@ def face_coeffs(face_verts: jnp.ndarray) -> jnp.ndarray:
     b_k(px, py) = A_k*px + B_k*py + C_k (already divided by signed area —
     covered iff all three >= 0 regardless of winding).
     Rows 9..11: (Az, Bz, Cz) with 1/z(px, py) = Az*px + Bz*py + Cz.
+    Rows 12..14: metric edge scales h_k (see inline comment); row 15 pad.
     """
     x0, y0, z0 = face_verts[:, 0, 0], face_verts[:, 0, 1], face_verts[:, 0, 2]
     x1, y1, z1 = face_verts[:, 1, 0], face_verts[:, 1, 1], face_verts[:, 1, 2]
@@ -86,8 +87,21 @@ def face_coeffs(face_verts: jnp.ndarray) -> jnp.ndarray:
     bz = b0 * iz0 + b1 * iz1 + b2 * iz2
     cz = c0 * iz0 + c1 * iz1 + c2 * iz2
 
+    # Rows 12..14: metric scales h_k = |area| / |edge_k| so that
+    # b_k * h_k is the signed PIXEL distance to edge k (used by soft mode);
+    # row 15 pads to 16 sublanes (f32 tile alignment).
+    abs_area = jnp.abs(area)
+
+    def elen(xa, ya, xb, yb):
+        return jnp.sqrt((xb - xa) ** 2 + (yb - ya) ** 2) + 1e-12
+
+    h0 = abs_area / elen(x1, y1, x2, y2)
+    h1 = abs_area / elen(x2, y2, x0, y0)
+    h2 = abs_area / elen(x0, y0, x1, y1)
+
     neg1 = jnp.full_like(c0, -1.0)
     zero = jnp.zeros_like(c0)
+    one = jnp.ones_like(c0)
     coeffs = jnp.stack(
         [
             jnp.where(valid, a0, zero), jnp.where(valid, b0, zero),
@@ -98,15 +112,23 @@ def face_coeffs(face_verts: jnp.ndarray) -> jnp.ndarray:
             jnp.where(valid, c2, neg1),
             jnp.where(valid, az, zero), jnp.where(valid, bz, zero),
             jnp.where(valid, cz, zero),
+            jnp.where(valid, h0, one), jnp.where(valid, h1, one),
+            jnp.where(valid, h2, one),
+            zero,
         ],
         axis=0,
     )
     return coeffs
 
 
-def _raster_kernel(bounds_ref, coeffs_ref, p2f_ref, zbuf_ref,
-                   invz_scr, fid_scr, *, width: int,
-                   tile_pixels: int, face_chunk: int, n_chunks: int):
+def _raster_kernel(bounds_ref, coeffs_ref, *refs, width: int,
+                   tile_pixels: int, face_chunk: int, n_chunks: int,
+                   soft: bool):
+    if soft:
+        (p2f_ref, zbuf_ref, near_ref,
+         invz_scr, fid_scr, sd_scr, sid_scr) = refs
+    else:
+        p2f_ref, zbuf_ref, invz_scr, fid_scr = refs
     t = pl.program_id(1)  # pixel-tile index; grid dim 0 is the view batch
     tp = tile_pixels
 
@@ -125,9 +147,19 @@ def _raster_kernel(bounds_ref, coeffs_ref, p2f_ref, zbuf_ref,
 
     invz_scr[:, :] = jnp.full((tp, 1), 0.0, jnp.float32)  # bg: invz <= 0
     fid_scr[:, :] = jnp.full((tp, 1), -1, jnp.int32)
+    if soft:
+        sd_scr[:, :] = jnp.full((tp, 1), -3.0e38, jnp.float32)
+        sid_scr[:, :] = jnp.full((tp, 1), 0, jnp.int32)
+
+    # Soft mode widens the cull band: pixels within MARGIN rows of a face
+    # still need it as a nearest-face candidate for silhouette gradients.
+    margin = 8.0 if soft else 0.0
 
     def body(c, _):
-        overlaps = (bounds_ref[0, 1, c] >= row0) & (bounds_ref[0, 0, c] <= row1)
+        overlaps = (
+            (bounds_ref[0, 1, c] >= row0 - margin)
+            & (bounds_ref[0, 0, c] <= row1 + margin)
+        )
 
         @pl.when(overlaps)
         def _():
@@ -151,6 +183,22 @@ def _raster_kernel(bounds_ref, coeffs_ref, p2f_ref, zbuf_ref,
             )
             invz_scr[:, :] = jnp.maximum(best, cmax)
 
+            if soft:
+                # Signed pixel distance to each face's boundary; track the
+                # per-pixel max (nearest face / deepest-inside face).
+                d0 = b0 * blk[12:13, :]
+                d1 = b1 * blk[13:14, :]
+                d2 = b2 * blk[14:15, :]
+                sd = jnp.minimum(jnp.minimum(d0, d1), d2)
+                smax = jnp.max(sd, axis=1, keepdims=True)
+                sarg = jnp.argmax(sd, axis=1, keepdims=True).astype(jnp.int32)
+                sbest = sd_scr[:, :]
+                sbetter = smax > sbest
+                sid_scr[:, :] = jnp.where(
+                    sbetter, c * face_chunk + sarg, sid_scr[:, :]
+                )
+                sd_scr[:, :] = jnp.maximum(sbest, smax)
+
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -160,14 +208,17 @@ def _raster_kernel(bounds_ref, coeffs_ref, p2f_ref, zbuf_ref,
     zbuf_ref[0, :, :] = jnp.where(
         hit, 1.0 / jnp.maximum(best_invz, 1e-12), BIG_Z
     )
+    if soft:
+        near_ref[0, :, :] = sid_scr[:, :]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def _rasterize_pallas_impl(
     face_verts: jnp.ndarray,      # (N, F, 3, 3)
     image_size: int,
     face_chunk: int,
     interpret: bool,
+    soft: bool,
 ) -> Fragments:
     # Defensive: XLA's constant folder on this stack miscomputes the
     # vmapped preprocessing (batched gather) when face_verts is a jit
@@ -210,7 +261,7 @@ def _rasterize_pallas_impl(
         pad = f_pad - f
         if pad:
             # Padding faces: zero A/B, C=-1 -> never covered.
-            pad_col = jnp.zeros((12, pad), coeffs.dtype)
+            pad_col = jnp.zeros((16, pad), coeffs.dtype)
             pad_col = pad_col.at[2].set(-1.0)
             coeffs = jnp.concatenate([coeffs, pad_col], axis=1)
             ymin_s = jnp.concatenate([ymin_s, jnp.full((pad,), jnp.inf)])
@@ -229,51 +280,62 @@ def _rasterize_pallas_impl(
     grid = (n, (h * w) // tile_pixels)
     kernel = functools.partial(
         _raster_kernel, width=w, tile_pixels=tile_pixels, face_chunk=fc,
-        n_chunks=n_chunks,
+        n_chunks=n_chunks, soft=soft,
     )
-    p2f, zbuf = pl.pallas_call(
+    out_block = pl.BlockSpec((1, tile_pixels, 1), lambda v, t: (v, t, 0),
+                             memory_space=pltpu.VMEM)
+    out_specs = [out_block, out_block]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, h * w, 1), jnp.int32),
+        jax.ShapeDtypeStruct((n, h * w, 1), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((tile_pixels, 1), jnp.float32),
+        pltpu.VMEM((tile_pixels, 1), jnp.int32),
+    ]
+    if soft:
+        out_specs.append(out_block)
+        out_shape.append(jax.ShapeDtypeStruct((n, h * w, 1), jnp.int32))
+        scratch += [
+            pltpu.VMEM((tile_pixels, 1), jnp.float32),
+            pltpu.VMEM((tile_pixels, 1), jnp.int32),
+        ]
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 2, n_chunks), lambda v, t: (v, 0, 0),
                          memory_space=pltpu.SMEM),
             # This view's coefficient array resident in VMEM for every tile.
-            pl.BlockSpec((1, 12, f_pad), lambda v, t: (v, 0, 0),
+            pl.BlockSpec((1, 16, f_pad), lambda v, t: (v, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, tile_pixels, 1), lambda v, t: (v, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_pixels, 1), lambda v, t: (v, t, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, h * w, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n, h * w, 1), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((tile_pixels, 1), jnp.float32),
-            pltpu.VMEM((tile_pixels, 1), jnp.int32),
-        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(bounds, coeffs)
+    p2f, zbuf = outs[0], outs[1]
+
+    def remap(ids_flat):
+        return jnp.take_along_axis(
+            order.astype(jnp.int32), ids_flat.reshape(n, -1), axis=1
+        ).reshape(n, h, w)
 
     # Map sorted ids back to original face ids (per view).
     p2f = p2f.reshape(n, h, w)
-    p2f = jnp.where(
-        p2f >= 0,
-        jnp.take_along_axis(
-            order.astype(jnp.int32), p2f.reshape(n, -1), axis=1
-        ).reshape(n, h, w),
-        -1,
+    p2f = jnp.where(p2f >= 0, remap(p2f), -1)
+    nearest = remap(outs[2]) if soft else None
+    return Fragments(
+        pix_to_face=p2f, zbuf=zbuf.reshape(n, h, w), nearest_face=nearest
     )
-    return Fragments(pix_to_face=p2f, zbuf=zbuf.reshape(n, h, w))
 
 
 def rasterize_pallas_batched(
     face_verts: jnp.ndarray,      # (N, F, 3, 3)
     image_size: int,
     face_chunk: int = FACE_CHUNK,
+    soft: bool = False,
 ) -> Fragments:
     """Rasterize a batch of views in one kernel launch (views = grid dim 0).
 
@@ -283,7 +345,7 @@ def rasterize_pallas_batched(
     """
     interpret = jax.default_backend() != "tpu"
     return _rasterize_pallas_impl(face_verts, image_size, face_chunk,
-                                  interpret)
+                                  interpret, soft)
 
 
 def rasterize_pallas(

@@ -65,32 +65,43 @@ def make_view_parallel_step(
     optimizer,
     mesh: Mesh,
     donate: bool = True,
+    has_aux: bool = False,
 ):
     """Build a jitted SPMD optimization step.
 
-    ``loss_fn(params, *view_batched_args) -> scalar`` must be a mean over
+    ``loss_fn(params, *view_batched_args) -> scalar`` (or ``(scalar, aux)``
+    with ``has_aux=True``, where aux is view-batched) must be a mean over
     the leading view axis of each batched arg. The returned step has
     signature ``step(params, opt_state, *view_batched_args) -> (params,
-    opt_state, loss)``; params/opt_state are replicated, batched args are
-    sharded along 'views', gradients are pmean-reduced over ICI.
+    opt_state, loss[, aux])``; params/opt_state are replicated, batched args
+    are sharded along 'views', gradients are pmean-reduced over ICI, and aux
+    comes back view-sharded.
     """
     from jax.experimental.shard_map import shard_map
 
     def _step(params, opt_state, *batched):
-        loss, grads = jax.value_and_grad(loss_fn)(params, *batched)
+        if has_aux:
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, *batched)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(params, *batched)
+            aux = None
         grads = jax.lax.pmean(grads, VIEW_AXIS)
         loss = jax.lax.pmean(loss, VIEW_AXIS)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(
             lambda p, u: p + u, params, updates
         )
+        if has_aux:
+            return params, opt_state, loss, aux
         return params, opt_state, loss
-
-    n_batched = None  # inferred per call via closure-free wrapper below
 
     def build(n_args: int):
         in_specs = (P(), P()) + (P(VIEW_AXIS),) * n_args
         out_specs = (P(), P(), P())
+        if has_aux:
+            out_specs = out_specs + (P(VIEW_AXIS),)
         sharded = shard_map(
             _step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
             check_rep=False,

@@ -60,19 +60,32 @@ class RasterizationSettings:
     backend: str = struct.field(pytree_node=False, default="auto")
     sigma: float = struct.field(pytree_node=False, default=1e-4)
     gamma: float = struct.field(pytree_node=False, default=1e-4)
+    # Soft (SoftRas-style) mode: rasterizers additionally report the nearest
+    # face per pixel (by signed boundary distance) and shading blends a
+    # sigmoid(dist / soft_sigma_px) coverage — giving nonzero SILHOUETTE
+    # gradients w.r.t. vertices, which the hard path (and the reference at
+    # blur_radius=0) structurally lacks. soft_sigma_px is in pixel units.
+    soft: bool = struct.field(pytree_node=False, default=False)
+    soft_sigma_px: float = struct.field(pytree_node=False, default=1.0)
 
 
 @struct.dataclass
 class Fragments:
     """Per-pixel rasterization output for one view (K = faces_per_pixel = 1).
 
-    pix_to_face: (H, W) int32, -1 where no face covers the pixel.
-    zbuf:        (H, W) float32 perspective-correct view-space depth
-                 (BIG_Z where uncovered).
+    pix_to_face:  (H, W) int32, -1 where no face covers the pixel.
+    zbuf:         (H, W) float32 perspective-correct view-space depth
+                  (BIG_Z where uncovered).
+    nearest_face: optional (H, W) int32 — the face with the largest signed
+                  boundary distance at this pixel (== the covering face when
+                  covered, the closest face when not). Populated only in
+                  soft mode; drives silhouette gradients in
+                  st3d.render.soft.
     """
 
     pix_to_face: jnp.ndarray
     zbuf: jnp.ndarray
+    nearest_face: Optional[jnp.ndarray] = None
 
 
 def _face_valid(face_verts: jnp.ndarray) -> jnp.ndarray:
@@ -124,18 +137,32 @@ def _pixel_depth_and_cover(face_verts, px, py):
 
     valid = _face_valid(face_verts)
     covered = covered & valid
-    return covered, z
+
+    # Signed boundary distance in pixel units: b_k * |area| / |edge_k| is
+    # the metric distance to edge k (positive inside). min over edges is
+    # exact in edge regions and a lower bound near corners — the proxy used
+    # for nearest-face selection in soft mode.
+    def edge_len(xa, ya, xb, yb):
+        return jnp.sqrt((xb - xa) ** 2 + (yb - ya) ** 2) + 1e-12
+
+    abs_area = jnp.abs(area)
+    d0 = b0 * abs_area / edge_len(x1, y1, x2, y2)
+    d1 = b1 * abs_area / edge_len(x2, y2, x0, y0)
+    d2 = b2 * abs_area / edge_len(x0, y0, x1, y1)
+    sdist = jnp.minimum(jnp.minimum(d0, d1), d2)
+    sdist = jnp.where(valid, sdist, -jnp.inf)
+    return covered, z, sdist
 
 
 def rasterize_bruteforce(
-    face_verts: jnp.ndarray, image_size: int
+    face_verts: jnp.ndarray, image_size: int, soft: bool = False
 ) -> Fragments:
     """Golden-oracle rasterizer: full (H*W, F) broadcast. Use at <=128**2."""
     h = w = image_size
     ys = jnp.arange(h, dtype=jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)
     py, px = jnp.meshgrid(ys, xs, indexing="ij")
-    covered, z = _pixel_depth_and_cover(
+    covered, z, sdist = _pixel_depth_and_cover(
         face_verts, px.reshape(-1), py.reshape(-1)
     )  # (P, F)
     zm = jnp.where(covered, z, BIG_Z)
@@ -143,18 +170,23 @@ def rasterize_bruteforce(
     best_z = jnp.take_along_axis(zm, best[:, None], axis=1)[:, 0]
     hit = best_z < BIG_Z
     pix_to_face = jnp.where(hit, best, -1).astype(jnp.int32)
+    nearest = None
+    if soft:
+        nearest = jnp.argmax(sdist, axis=1).astype(jnp.int32).reshape(h, w)
     return Fragments(
         pix_to_face=pix_to_face.reshape(h, w),
         zbuf=best_z.reshape(h, w),
+        nearest_face=nearest,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def rasterize_xla(
     face_verts: jnp.ndarray,
     image_size: int,
     row_block: int = 16,
     face_chunk: int = 512,
+    soft: bool = False,
 ) -> Fragments:
     """Memory-bounded rasterizer in pure XLA: lax.map over row blocks,
     lax.scan over face chunks with a running (z, face-id) minimum.
@@ -183,32 +215,48 @@ def rasterize_xla(
         py = py.reshape(-1)
 
         def scan_chunk(carry, inp):
-            best_z, best_f = carry
+            best_z, best_f, best_sd, best_sf = carry
             chunk_idx, chunk = inp
-            covered, z = _pixel_depth_and_cover(chunk, px, py)  # (P, fc)
+            covered, z, sd = _pixel_depth_and_cover(chunk, px, py)  # (P, fc)
             zm = jnp.where(covered, z, BIG_Z)
             arg = jnp.argmin(zm, axis=1)
             zc = jnp.take_along_axis(zm, arg[:, None], axis=1)[:, 0]
             fidc = chunk_idx * fc + arg
             better = zc < best_z  # strict: earlier (lower) face wins ties
+            if soft:  # static: the nearest-face carry exists only in soft mode
+                sarg = jnp.argmax(sd, axis=1)
+                sdc = jnp.take_along_axis(sd, sarg[:, None], axis=1)[:, 0]
+                sbetter = sdc > best_sd
+                best_sd = jnp.where(sbetter, sdc, best_sd)
+                best_sf = jnp.where(sbetter, chunk_idx * fc + sarg, best_sf)
             return (
                 jnp.where(better, zc, best_z),
                 jnp.where(better, fidc, best_f),
+                best_sd,
+                best_sf,
             ), None
 
         init = (
             jnp.full((rb * w,), BIG_Z, jnp.float32),
             jnp.full((rb * w,), -1, jnp.int32),
+            jnp.full((rb * w,), -jnp.inf, jnp.float32),
+            jnp.full((rb * w,), 0, jnp.int32),
         )
-        (best_z, best_f), _ = jax.lax.scan(
+        (best_z, best_f, _, best_sf), _ = jax.lax.scan(
             scan_chunk, init, (jnp.arange(n_chunks), fv_chunks)
         )
         best_f = jnp.where(best_z < BIG_Z, best_f, -1)
-        return best_f.reshape(rb, w).astype(jnp.int32), best_z.reshape(rb, w)
+        return (
+            best_f.reshape(rb, w).astype(jnp.int32),
+            best_z.reshape(rb, w),
+            best_sf.reshape(rb, w).astype(jnp.int32),
+        )
 
-    pix_to_face, zbuf = jax.lax.map(do_block, jnp.arange(n_blocks))
+    pix_to_face, zbuf, nearest = jax.lax.map(do_block, jnp.arange(n_blocks))
     return Fragments(
-        pix_to_face=pix_to_face.reshape(h, w), zbuf=zbuf.reshape(h, w)
+        pix_to_face=pix_to_face.reshape(h, w),
+        zbuf=zbuf.reshape(h, w),
+        nearest_face=nearest.reshape(h, w) if soft else None,
     )
 
 
@@ -251,15 +299,21 @@ def rasterize_batch(
     backend = resolve_backend(settings)
     if backend == "bruteforce":
         return jax.vmap(
-            lambda fv: rasterize_bruteforce(fv, settings.image_size)
+            lambda fv: rasterize_bruteforce(
+                fv, settings.image_size, soft=settings.soft
+            )
         )(face_verts)
     if backend == "xla":
         return jax.vmap(
-            lambda fv: rasterize_xla(fv, settings.image_size)
+            lambda fv: rasterize_xla(
+                fv, settings.image_size, soft=settings.soft
+            )
         )(face_verts)
     from st3d.kernels.raster_pallas import rasterize_pallas_batched
 
-    return rasterize_pallas_batched(face_verts, settings.image_size)
+    return rasterize_pallas_batched(
+        face_verts, settings.image_size, soft=settings.soft
+    )
 
 
 def face_verts_screen(

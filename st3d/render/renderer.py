@@ -40,6 +40,19 @@ def render_rgba(
     # call; only the differentiable shading epilogue is vmapped.
     frags = rasterize_batch(fv, settings)
 
+    if settings.soft:
+        from st3d.render.soft import shade_soft
+
+        def one_view_soft(fv_view, p2f, near):
+            return shade_soft(
+                fv_view, p2f, near, mesh.verts_uvs, mesh.faces_uvs,
+                mesh.texture, sigma_px=settings.soft_sigma_px,
+            )
+
+        return jax.vmap(one_view_soft)(
+            fv, frags.pix_to_face, frags.nearest_face
+        )
+
     def one_view(fv_view, p2f):
         return shade_textured(
             fv_view, p2f, mesh.verts_uvs, mesh.faces_uvs, mesh.texture

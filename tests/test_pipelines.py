@@ -149,3 +149,25 @@ def test_cli_flag_parsing_matches_reference_names():
     # The reference's type=bool footgun is fixed: garbage is rejected.
     with pytest.raises(SystemExit):
         parse_first_approach(["--randomize_views", "banana"])
+
+
+@pytest.mark.skipif(not HAVE_ASSETS, reason="reference assets absent")
+def test_second_approach_data_parallel(tmp_path):
+    """--data_parallel shards the view batch over the 8 virtual devices."""
+    cfg = _tiny_cfg(
+        tmp_path, n_views=8, batch_size=8, epochs=3, data_parallel=True,
+        content_background="noise", current_background="noise",
+    )
+    run_second_approach(cfg)
+    lines = _read_log(os.path.join(cfg.output_path, "log.txt"))
+    assert len(lines) == 3
+    losses = [float(l.rsplit(" ", 1)[1]) for l in lines]
+    assert losses[-1] < losses[0]
+    assert os.path.isfile(os.path.join(cfg.output_path, "final.obj"))
+
+
+@pytest.mark.skipif(not HAVE_ASSETS, reason="reference assets absent")
+def test_second_approach_data_parallel_bad_batch(tmp_path):
+    cfg = _tiny_cfg(tmp_path, n_views=3, batch_size=3, data_parallel=True)
+    with pytest.raises(ValueError, match="devices"):
+        run_second_approach(cfg)

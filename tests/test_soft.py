@@ -1,0 +1,131 @@
+"""Soft rasterization: silhouette-gradient sanity (SURVEY.md §4 item 3 —
+'a hard rasterizer has zero silhouette grads; the soft path must not'),
+hard-limit convergence, backend agreement."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from st3d.core.cameras import FoVPerspectiveCameras
+from st3d.render.rasterize import (
+    RasterizationSettings,
+    face_verts_screen,
+    rasterize_batch,
+)
+from st3d.render.renderer import render_rgba
+from st3d.render.soft import signed_distance_to_faces
+
+
+def _cam():
+    return FoVPerspectiveCameras.create(T=jnp.array([[0.0, 0.0, 2.0]]))
+
+
+def test_signed_distance_signs():
+    # Unit-ish triangle in pixel space.
+    fv = jnp.array([[[8.0, 8.0, 2.0], [24.0, 8.0, 2.0], [8.0, 24.0, 2.0]]])
+    ids = jnp.zeros((32, 32), jnp.int32)
+    sd = np.asarray(signed_distance_to_faces(fv, ids))
+    assert sd[10, 10] > 0          # inside
+    assert sd[4, 4] < 0            # outside
+    # One pixel inside from the bottom edge: distance ~ 2 (rows 8..).
+    np.testing.assert_allclose(sd[10, 12], 2.0, atol=0.1)
+    # Reversed winding gives the same sign.
+    sd_rev = np.asarray(signed_distance_to_faces(fv[:, ::-1], ids))
+    np.testing.assert_allclose(sd, sd_rev, atol=1e-5)
+
+
+@pytest.mark.parametrize("backend", ["bruteforce", "xla", "pallas"])
+def test_nearest_face_backends_agree(sphere_mesh, backend):
+    want_settings = RasterizationSettings(
+        image_size=32, backend="bruteforce", soft=True
+    )
+    got_settings = RasterizationSettings(
+        image_size=32, backend=backend, soft=True
+    )
+    fv = face_verts_screen(
+        sphere_mesh.verts, sphere_mesh.faces, _cam(), 32
+    )
+    want = rasterize_batch(fv, want_settings)
+    got = rasterize_batch(fv, got_settings)
+    np.testing.assert_array_equal(
+        np.asarray(got.pix_to_face), np.asarray(want.pix_to_face)
+    )
+    # Nearest-face ids can differ on ties, and the pallas kernel truncates
+    # the nearest-face search to a +-8-row band (beyond it alpha is
+    # saturated ~0 and carries no gradient). Compare the OBSERVABLE: the
+    # sigmoid coverage at sigma=1px.
+    sd_w = signed_distance_to_faces(fv[0], want.nearest_face[0])
+    sd_g = signed_distance_to_faces(fv[0], got.nearest_face[0])
+    a_w = jax.nn.sigmoid(sd_w / 1.0)
+    a_g = jax.nn.sigmoid(sd_g / 1.0)
+    np.testing.assert_allclose(
+        np.asarray(a_g), np.asarray(a_w), atol=2e-3
+    )
+
+
+def test_soft_converges_to_hard(quad_mesh):
+    hard = RasterizationSettings(image_size=32, backend="bruteforce")
+    soft = RasterizationSettings(
+        image_size=32, backend="bruteforce", soft=True, soft_sigma_px=0.01
+    )
+    a = np.asarray(render_rgba(quad_mesh, _cam(), hard)[0])
+    b = np.asarray(render_rgba(quad_mesh, _cam(), soft)[0])
+    # Away from the boundary (|alpha - 0.5| large) images agree.
+    interior = a[..., 3] > 0.5
+    sharp = (b[..., 3] > 0.99) | (b[..., 3] < 0.01)
+    agree = sharp & (np.abs(b[..., 3] - a[..., 3]) < 0.02)
+    assert agree[sharp].mean() > 0.98
+    np.testing.assert_allclose(
+        b[interior & sharp, :3], a[interior & sharp, :3], atol=0.02
+    )
+
+
+def test_silhouette_gradient_nonzero_only_for_soft(quad_mesh):
+    """d(coverage)/d(vertex) is ~0 for hard rasterization and nonzero,
+    finite-difference-consistent, for soft."""
+    cam = _cam()
+
+    def alpha_sum(verts, soft):
+        settings = RasterizationSettings(
+            image_size=32, backend="bruteforce", soft=soft,
+            soft_sigma_px=1.0,
+        )
+        rgba = render_rgba(
+            quad_mesh.replace(verts=verts), cam, settings
+        )
+        return jnp.sum(rgba[..., 3])
+
+    g_hard = jax.grad(lambda v: alpha_sum(v, False))(quad_mesh.verts)
+    g_soft = jax.grad(lambda v: alpha_sum(v, True))(quad_mesh.verts)
+    assert float(jnp.abs(g_hard).max()) == 0.0
+    assert float(jnp.abs(g_soft).max()) > 0.01
+
+    # Finite differences on vertex 0 x (scaling the quad changes coverage).
+    eps = 1e-2
+    v = np.asarray(quad_mesh.verts)
+    vp = v.copy(); vp[0, 0] -= eps   # move corner outward (-x grows quad)
+    vm = v.copy(); vm[0, 0] += eps
+    fd = (alpha_sum(jnp.asarray(vp), True)
+          - alpha_sum(jnp.asarray(vm), True)) / (2 * eps)
+    np.testing.assert_allclose(
+        -float(fd), float(g_soft[0, 0]), rtol=0.15
+    )
+
+
+def test_soft_alpha_monotone_in_scale(sphere_mesh):
+    """Growing the mesh grows total soft coverage (the optimization signal
+    geometry fitting relies on)."""
+    cam = FoVPerspectiveCameras.create(T=jnp.array([[0.0, 0.0, 4.0]]))
+    settings = RasterizationSettings(
+        image_size=48, backend="bruteforce", soft=True
+    )
+
+    def cov(scale):
+        rgba = render_rgba(
+            sphere_mesh.replace(verts=sphere_mesh.verts * scale),
+            cam, settings,
+        )
+        return float(jnp.sum(rgba[..., 3]))
+
+    assert cov(0.8) < cov(1.0) < cov(1.2)
