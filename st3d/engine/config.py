@@ -63,6 +63,7 @@ class PipelineConfig:
     checkpoint_every: int = 0             # steps/epochs between checkpoints
     resume: bool = False
     profile: bool = False
+    debug_nan: bool = False            # checkify NaN/Inf guard on the step
     compute_dtype: str = "float32"        # float32 | bfloat16 (VGG compute)
     data_parallel: bool = False           # shard views across devices
 
@@ -114,6 +115,7 @@ def _add_shared(p: argparse.ArgumentParser) -> None:
     p.add_argument("--checkpoint_every", default=0, type=int)
     p.add_argument("--resume", default=False, type=_str2bool)
     p.add_argument("--profile", default=False, type=_str2bool)
+    p.add_argument("--debug_nan", default=False, type=_str2bool)
     p.add_argument("--compute_dtype", default="float32", type=str,
                    choices=["float32", "bfloat16"])
     p.add_argument("--data_parallel", default=False, type=_str2bool)

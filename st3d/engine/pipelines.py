@@ -132,6 +132,7 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
     logger = RunLogger(cfg.output_path)
     rng = jax.random.PRNGKey(cfg.seed)
     stop_profile = _maybe_profile(cfg)
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     render_jit = jax.jit(lambda m, c: render_meshes(m, c, settings))
 
@@ -201,6 +202,7 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
             style_weight=cfg.style_weight,
             content_weight=cfg.content_weight,
             lr=cfg.style_transfer_lr,
+            dtype=dtype,
         )
         applied = jnp.clip(applied, 0.0, 1.0)  # finalize_tensor
 
@@ -353,9 +355,8 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
             dp_loss_fn, optimizer, dev_mesh, has_aux=True
         )
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def epoch_step(p, st, rng, cams_b, style_b, content_imgs, content_masks,
-                   targets):
+    def _epoch_step_impl(p, st, rng, cams_b, style_b, content_imgs,
+                         content_masks, targets):
         rng, r1, r2 = jax.random.split(rng, 3)
 
         def loss_fn(p):
@@ -391,6 +392,13 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
         updates, st = optimizer.update(grads, st, p)
         p = optax.apply_updates(p, updates)
         return p, st, rng, loss, cur
+
+    if cfg.debug_nan:
+        from st3d.utils.debug import jit_with_finite_guard
+
+        epoch_step = jit_with_finite_guard(_epoch_step_impl)
+    else:
+        epoch_step = jax.jit(_epoch_step_impl, donate_argnums=(0, 1))
 
     start_epoch = 0
     ckpt_path = os.path.join(cfg.output_path, "checkpoint.npz")

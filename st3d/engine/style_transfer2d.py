@@ -28,13 +28,14 @@ from st3d.models.vgg import VGG19, get_features
 from st3d.ops.losses import StyleContentTargets, style_content_loss
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "lr"), donate_argnums=(0, 1))
+@functools.partial(jax.jit, static_argnames=("steps", "lr", "dtype"),
+                   donate_argnums=(0, 1))
 def _scan_steps(imgs, opt_state, targets, model, style_weight,
-                content_weight, steps: int, lr: float):
+                content_weight, steps: int, lr: float, dtype=jnp.float32):
     opt = optax.adam(lr)
 
     def loss_fn(x):
-        feats = get_features(x, model)
+        feats = get_features(x, model, dtype=dtype)
         return style_content_loss(feats, targets, style_weight, content_weight)
 
     def step(carry, _):
@@ -61,6 +62,7 @@ def style_transfer(
     lr: float = 0.003,
     chunk: int = 100,
     progress: bool = True,
+    dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Optimize ``initial_optimized_imgs`` (B, 3, H, W) toward the style of
     ``style_imgs`` and the content of ``content_imgs``. Reference signature
@@ -70,7 +72,9 @@ def style_transfer(
         == content_imgs.shape[0]
         == style_imgs.shape[0]
     )
-    targets = StyleContentTargets.create(content_imgs, style_imgs, model)
+    targets = StyleContentTargets.create(
+        content_imgs, style_imgs, model, dtype=dtype
+    )
 
     # Copy (reference clone().detach(), style_transfer.py:54): the scan
     # donates its input buffers, and the caller's array must stay valid.
@@ -97,7 +101,7 @@ def style_transfer(
         imgs, opt_state, losses = _scan_steps(
             imgs, opt_state, targets, model,
             jnp.float32(style_weight), jnp.float32(content_weight),
-            n, lr,
+            n, lr, dtype,
         )
         last_loss = losses[-1]
         if progress and hasattr(iterator, "set_postfix"):

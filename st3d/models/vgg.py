@@ -187,13 +187,17 @@ def get_features(
             continue
         w = model.kernels[conv_i].astype(dtype)
         b = model.biases[conv_i].astype(dtype)
+        # preferred_element_type must equal the operand dtype here: with a
+        # f32 preference on bf16 operands, the conv TRANSPOSE rule feeds a
+        # f32 cotangent back into a bf16 conv and fails. TPU MXU still
+        # accumulates bf16 convs in f32 internally.
         x = jax.lax.conv_general_dilated(
             x, w,
             window_strides=(1, 1),
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype) + b
+            preferred_element_type=dtype,
+        ) + b
         if conv_i in name_by_conv and name_by_conv[conv_i] in wanted:
             feats[name_by_conv[conv_i]] = jnp.transpose(
                 x, (0, 3, 1, 2)

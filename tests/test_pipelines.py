@@ -171,3 +171,14 @@ def test_second_approach_data_parallel_bad_batch(tmp_path):
     cfg = _tiny_cfg(tmp_path, n_views=3, batch_size=3, data_parallel=True)
     with pytest.raises(ValueError, match="devices"):
         run_second_approach(cfg)
+
+
+def test_debug_nan_guard_catches():
+    import jax.numpy as jnp
+
+    from st3d.utils.debug import jit_with_finite_guard
+
+    f = jit_with_finite_guard(lambda x: jnp.log(x))
+    f(jnp.asarray(1.0))
+    with pytest.raises(Exception, match="nan"):
+        f(jnp.asarray(-1.0))
