@@ -58,6 +58,8 @@ class PipelineConfig:
     # --- framework additions (not in the reference) ---
     seed: int = 0
     raster_backend: str = "auto"          # auto | pallas | xla | bruteforce
+    soft_raster: bool = False             # SoftRas silhouette gradients
+    soft_sigma_px: float = 1.0            # soft coverage sigmoid width
     vgg_weights: Optional[str] = None
     save_intermediate: bool = True        # per-step current_images (2nd appr.)
     checkpoint_every: int = 0             # steps/epochs between checkpoints
@@ -110,6 +112,9 @@ def _add_shared(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--raster_backend", default="auto", type=str,
                    choices=["auto", "pallas", "xla", "bruteforce"])
+    p.add_argument("--soft_raster", default=False, type=_str2bool,
+                   help="soft rasterization (silhouette gradients)")
+    p.add_argument("--soft_sigma_px", default=1.0, type=float)
     p.add_argument("--vgg_weights", default=None, type=str)
     p.add_argument("--save_intermediate", default=True, type=_str2bool)
     p.add_argument("--checkpoint_every", default=0, type=int)

@@ -1,0 +1,212 @@
+"""Multi-style batched optimization: one mesh, S styles, jointly.
+
+BASELINE.md acceptance config 4 ("bob_mesh batched over Style_1-5, 8 vmapped
+views per step, shared VGG features"). The reference can only run styles
+sequentially as separate processes; this engine exploits the structure
+TPU-style:
+
+  * geometry is shared, so per step the (expensive) visibility pass runs
+    ONCE for the view batch and every style's texture is sampled against the
+    same fragments (vmap over the style axis of the texel epilogue);
+  * all S x B rendered views go through VGG as ONE batch (MXU-friendly);
+  * the per-style losses use disjoint texture parameters, so one Adam update
+    over the stacked (S, H, W, 3) atlas optimizes all styles independently
+    but simultaneously.
+
+Outputs: ``output_path/<style_stem>/final.obj`` (+ renders) per style, a
+shared ``log.txt`` with per-step summed loss, and metrics.jsonl carrying the
+per-style loss vector.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from typing import Dict, List, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from st3d.core.mesh import Mesh, finalize_mesh
+from st3d.engine.config import PipelineConfig
+from st3d.engine.pipelines import (
+    build_cameras,
+    load_scene,
+    save_render,
+    _batches,
+)
+from st3d.io.image import load_as_tensor
+from st3d.io.obj import save_mesh
+from st3d.models.vgg import get_features, get_vgg
+from st3d.ops.losses import (
+    CONTENT_LAYER,
+    STYLE_LAYERS,
+    gram_matrix,
+    mse_loss,
+)
+from st3d.render.rasterize import RasterizationSettings, face_verts_screen, rasterize_batch
+from st3d.render.renderer import render_meshes
+from st3d.render.shading import shade_textured
+from st3d.utils.assets import resolve_asset
+from st3d.utils.checkpoint import load_checkpoint, save_checkpoint
+from st3d.utils.logging import RunLogger
+
+
+def _multi_style_content_loss(feats, content_features, style_grams,
+                              style_weight, content_weight):
+    """Per-style reference loss on features carrying a leading style axis.
+
+    feats: {layer: (S, B, C, H, W)}; content_features (B, C, H, W) shared;
+    style_grams {layer: (S, B, C, C)}. Returns (S,) per-style losses.
+    """
+    def one_style(feats_s, grams_s):
+        content_loss = mse_loss(feats_s[CONTENT_LAYER], content_features)
+        style_loss = 0.0
+        for layer in STYLE_LAYERS:
+            f = feats_s[layer]
+            c, h = f.shape[1], f.shape[2]
+            g = gram_matrix(f)
+            style_loss = style_loss + jnp.mean(
+                (g - grams_s[layer]) ** 2
+            ) / (c ** 2 * h ** 2)
+        return content_weight * content_loss + style_weight * style_loss
+
+    return jax.vmap(one_style)(
+        feats, {l: style_grams[l] for l in STYLE_LAYERS}
+    )
+
+
+def run_multistyle(cfg: PipelineConfig, style_paths: Sequence[str],
+                   epochs: int = None) -> Dict[str, Mesh]:
+    """Second-approach optimization of one texture PER STYLE, jointly."""
+    epochs = epochs if epochs is not None else cfg.epochs
+    os.makedirs(cfg.output_path, exist_ok=True)
+    style_names = [
+        os.path.splitext(os.path.basename(p))[0] for p in style_paths
+    ]
+    n_styles = len(style_paths)
+
+    mesh = load_scene(cfg)
+    settings = RasterizationSettings(
+        image_size=cfg.size, backend=cfg.raster_backend
+    )
+    vgg = get_vgg(cfg.vgg_weights)
+    cameras = build_cameras(cfg)
+    logger = RunLogger(cfg.output_path)
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    render_jit = jax.jit(lambda m, c: render_meshes(m, c, settings))
+
+    # Per-batch constants: content renders + features (shared), per-style
+    # Gram targets.
+    batch_const = []
+    for i, b0, b1 in _batches(cfg.n_views, cfg.batch_size):
+        bsz = b1 - b0
+        batch_cams = cameras[b0:b1]
+        content_imgs, _ = render_jit(mesh, batch_cams)
+        content_features = get_features(content_imgs, vgg, dtype=dtype)[
+            CONTENT_LAYER
+        ]
+        styles = jnp.stack([
+            jnp.broadcast_to(
+                load_as_tensor(resolve_asset(p), cfg.size)[None],
+                (bsz, 3, cfg.size, cfg.size),
+            )
+            for p in style_paths
+        ])  # (S, B, 3, H, W)
+        style_feats = get_features(
+            styles.reshape(n_styles * bsz, 3, cfg.size, cfg.size),
+            vgg, dtype=dtype,
+        )
+        style_grams = {
+            l: gram_matrix(style_feats[l]).reshape(
+                n_styles, bsz, style_feats[l].shape[1],
+                style_feats[l].shape[1],
+            )
+            for l in STYLE_LAYERS
+        }
+        batch_const.append((batch_cams, content_features, style_grams))
+
+    textures = jnp.broadcast_to(
+        mesh.texture[None], (n_styles,) + mesh.texture.shape
+    ).copy()
+    params = {"textures": textures}
+    optimizer = optax.adam(cfg.lr)
+    opt_state = optimizer.init(params)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(p, st, cams_b, content_features, style_grams):
+        def loss_fn(p):
+            fv = face_verts_screen(
+                mesh.verts, mesh.faces, cams_b, cfg.size
+            )
+            frags = rasterize_batch(fv, settings)  # visibility ONCE
+
+            def shade_style(tex):
+                return jax.vmap(
+                    lambda fvv, p2f: shade_textured(
+                        fvv, p2f, mesh.verts_uvs, mesh.faces_uvs, tex
+                    )
+                )(fv, frags.pix_to_face)
+
+            rgba = jax.vmap(shade_style)(p["textures"])  # (S, B, H, W, 4)
+            imgs = jnp.transpose(rgba[..., :3], (0, 1, 4, 2, 3))
+            s, b = imgs.shape[0], imgs.shape[1]
+            feats = get_features(
+                imgs.reshape(s * b, 3, cfg.size, cfg.size), vgg, dtype=dtype
+            )
+            feats = {
+                k: v.reshape((s, b) + v.shape[1:]) for k, v in feats.items()
+            }
+            per_style = _multi_style_content_loss(
+                feats, content_features, style_grams,
+                cfg.style_weight, cfg.content_weight,
+            )
+            return jnp.sum(per_style), per_style
+
+        (loss, per_style), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(p)
+        updates, st = optimizer.update(grads, st, p)
+        p = optax.apply_updates(p, updates)
+        return p, st, loss, per_style
+
+    start_epoch = 0
+    ckpt_path = os.path.join(cfg.output_path, "checkpoint.npz")
+    rng = jax.random.PRNGKey(cfg.seed)
+    if cfg.resume and os.path.isfile(ckpt_path):
+        start_epoch, params, opt_state, rng = load_checkpoint(
+            ckpt_path, params, opt_state, rng
+        )
+
+    for epoch in range(start_epoch, epochs):
+        total = 0.0
+        for cams_b, cfeat, grams in batch_const:
+            params, opt_state, loss, per_style = step(
+                params, opt_state, cams_b, cfeat, grams
+            )
+            total += float(loss)
+        logger.log_epoch(
+            epoch, total,
+            per_style={n: float(v)
+                       for n, v in zip(style_names, np.asarray(per_style))},
+        )
+        if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
+            save_checkpoint(ckpt_path, epoch + 1, params, opt_state, rng)
+
+    results: Dict[str, Mesh] = {}
+    fixed12 = build_cameras(
+        PipelineConfig(n_views=12, randomize_views=False, seed=cfg.seed)
+    )
+    for s, name in enumerate(style_names):
+        final = finalize_mesh(mesh.replace(texture=params["textures"][s]))
+        out_dir = os.path.join(cfg.output_path, name)
+        save_render(final, fixed12, settings,
+                    os.path.join(out_dir, "final_render"))
+        save_mesh(final, os.path.join(out_dir, "final.obj"))
+        results[name] = final
+    logger.close()
+    return results

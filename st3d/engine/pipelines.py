@@ -121,7 +121,8 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
 
     content_mesh = load_scene(cfg)
     settings = RasterizationSettings(
-        image_size=cfg.size, backend=cfg.raster_backend
+        image_size=cfg.size, backend=cfg.raster_backend,
+        soft=cfg.soft_raster, soft_sigma_px=cfg.soft_sigma_px,
     )
     vgg = get_vgg(cfg.vgg_weights)
     cameras = build_cameras(cfg)
@@ -252,7 +253,8 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
 
     content_mesh = load_scene(cfg)
     settings = RasterizationSettings(
-        image_size=cfg.size, backend=cfg.raster_backend
+        image_size=cfg.size, backend=cfg.raster_backend,
+        soft=cfg.soft_raster, soft_sigma_px=cfg.soft_sigma_px,
     )
     vgg = get_vgg(cfg.vgg_weights)
     cameras = build_cameras(cfg)

@@ -30,20 +30,10 @@ import jax.numpy as jnp
 from st3d.render.rasterize import AREA_EPS
 
 
-def recompute_barycentrics(
-    face_verts: jnp.ndarray,      # (F, 3, 3) screen verts, differentiable
-    pix_to_face: jnp.ndarray,     # (H, W) int32, -1 = background
-) -> jnp.ndarray:
-    """Perspective-correct barycentrics of each pixel in its winning face.
-
-    Returns (H, W, 3); arbitrary values where pix_to_face < 0 (mask later).
-    Differentiable w.r.t. ``face_verts``; the integer ids act as constants,
-    which is exactly the hard-rasterization gradient semantics.
-    """
-    h, w = pix_to_face.shape
-    safe = jnp.maximum(pix_to_face, 0)
-    tri = face_verts[safe]  # (H, W, 3, 3)
-
+def barycentrics_of_triangles(tri: jnp.ndarray) -> jnp.ndarray:
+    """Perspective-correct barycentrics at pixel centers for pre-gathered
+    per-pixel triangles ``tri`` of shape (H, W, 3, 3). Differentiable."""
+    h, w = tri.shape[0], tri.shape[1]
     ys = jnp.arange(h, dtype=jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)
     py, px = jnp.meshgrid(ys, xs, indexing="ij")
@@ -64,6 +54,20 @@ def recompute_barycentrics(
     bw = b / jnp.maximum(z, 1e-8)
     denom = jnp.sum(bw, axis=-1, keepdims=True)
     return bw / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+
+
+def recompute_barycentrics(
+    face_verts: jnp.ndarray,      # (F, 3, 3) screen verts, differentiable
+    pix_to_face: jnp.ndarray,     # (H, W) int32, -1 = background
+) -> jnp.ndarray:
+    """Perspective-correct barycentrics of each pixel in its winning face.
+
+    Returns (H, W, 3); arbitrary values where pix_to_face < 0 (mask later).
+    Differentiable w.r.t. ``face_verts``; the integer ids act as constants,
+    which is exactly the hard-rasterization gradient semantics.
+    """
+    safe = jnp.maximum(pix_to_face, 0)
+    return barycentrics_of_triangles(face_verts[safe])
 
 
 def interpolate_face_attributes(
@@ -139,9 +143,20 @@ def shade_textured(
     ``apply_background('white')`` is a no-op (reference utils.py:29-30), and
     the mask is alpha > 0 (utils.py:72).
     """
-    bary = recompute_barycentrics(face_verts, pix_to_face)
+    # One row gather per pixel: pack the 9 screen-vert floats and 6 UV
+    # floats of every face into a 15-float row first (TPU gathers cost
+    # ~per row — see sample_texture).
+    f = face_verts.shape[0]
     face_uv = verts_uvs[faces_uvs]  # (F, 3, 2)
-    uv = interpolate_face_attributes(face_uv, pix_to_face, bary)  # (H, W, 2)
+    pack = jnp.concatenate(
+        [face_verts.reshape(f, 9), face_uv.reshape(f, 6)], axis=-1
+    )
+    safe = jnp.maximum(pix_to_face, 0)
+    g = pack[safe]                                     # (H, W, 15)
+    tri = g[..., 0:9].reshape(g.shape[:-1] + (3, 3))
+    uvf = g[..., 9:15].reshape(g.shape[:-1] + (3, 2))
+    bary = barycentrics_of_triangles(tri)
+    uv = jnp.sum(uvf * bary[..., None], axis=-2)       # (H, W, 2)
     rgb = sample_texture(texture, uv)  # (H, W, 3)
     mask = (pix_to_face >= 0)[..., None]
     bg = jnp.asarray(background_color, rgb.dtype)

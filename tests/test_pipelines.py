@@ -182,3 +182,32 @@ def test_debug_nan_guard_catches():
     f(jnp.asarray(1.0))
     with pytest.raises(Exception, match="nan"):
         f(jnp.asarray(-1.0))
+
+
+@pytest.mark.skipif(not HAVE_ASSETS, reason="reference assets absent")
+def test_second_approach_soft_raster_mesh_opt(tmp_path):
+    """Geometry optimization with soft silhouette gradients runs and the
+    vertices actually move (hard mode moves them only via interior UV
+    shifts; soft adds boundary forces)."""
+    cfg = _tiny_cfg(
+        tmp_path, optimization_target="mesh", soft_raster=True, epochs=3,
+        size=64,
+    )
+    from st3d.engine.pipelines import load_scene
+
+    before = load_scene(cfg).verts
+    final = run_second_approach(cfg)
+    moved = float(jnp.abs(final.verts - before).max())
+    assert moved > 0
+
+
+@pytest.mark.skipif(not HAVE_ASSETS, reason="reference assets absent")
+def test_profile_flag_writes_trace(tmp_path):
+    cfg = _tiny_cfg(tmp_path, epochs=1, profile=True)
+    run_second_approach(cfg)
+    prof = os.path.join(cfg.output_path, "profile")
+    assert os.path.isdir(prof)
+    found = []
+    for root, _dirs, files in os.walk(prof):
+        found += files
+    assert found  # trace events written
