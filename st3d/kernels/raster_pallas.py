@@ -212,13 +212,14 @@ def _raster_kernel(bounds_ref, coeffs_ref, *refs, width: int,
         near_ref[0, :, :] = sid_scr[:, :]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def _rasterize_pallas_impl(
     face_verts: jnp.ndarray,      # (N, F, 3, 3)
     image_size: int,
     face_chunk: int,
     interpret: bool,
     soft: bool,
+    image_height: int = None,
 ) -> Fragments:
     # Defensive: XLA's constant folder on this stack miscomputes the
     # vmapped preprocessing (batched gather) when face_verts is a jit
@@ -226,7 +227,8 @@ def _rasterize_pallas_impl(
     # barrier forces runtime evaluation of everything downstream.
     face_verts = jax.lax.optimization_barrier(face_verts)
     n, f = face_verts.shape[0], face_verts.shape[1]
-    h = w = image_size
+    w = image_size
+    h = image_height if image_height is not None else image_size
     tile_pixels = min(1024, h * w)
     assert (h * w) % tile_pixels == 0, (
         f"image pixel count {h*w} must be divisible by {tile_pixels}"
@@ -336,6 +338,7 @@ def rasterize_pallas_batched(
     image_size: int,
     face_chunk: int = FACE_CHUNK,
     soft: bool = False,
+    image_height: int = None,
 ) -> Fragments:
     """Rasterize a batch of views in one kernel launch (views = grid dim 0).
 
@@ -345,17 +348,18 @@ def rasterize_pallas_batched(
     """
     interpret = jax.default_backend() != "tpu"
     return _rasterize_pallas_impl(face_verts, image_size, face_chunk,
-                                  interpret, soft)
+                                  interpret, soft, image_height)
 
 
 def rasterize_pallas(
     face_verts: jnp.ndarray,      # (F, 3, 3)
     image_size: int,
     face_chunk: int = FACE_CHUNK,
+    image_height: int = None,
 ) -> Fragments:
     """Rasterize one view. Falls back to interpret mode off-TPU (tests)."""
     frags = rasterize_pallas_batched(
-        face_verts[None], image_size, face_chunk
+        face_verts[None], image_size, face_chunk, image_height=image_height
     )
     return Fragments(
         pix_to_face=frags.pix_to_face[0], zbuf=frags.zbuf[0]

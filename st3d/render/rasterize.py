@@ -155,10 +155,12 @@ def _pixel_depth_and_cover(face_verts, px, py):
 
 
 def rasterize_bruteforce(
-    face_verts: jnp.ndarray, image_size: int, soft: bool = False
+    face_verts: jnp.ndarray, image_size: int, soft: bool = False,
+    image_height: int = None,
 ) -> Fragments:
     """Golden-oracle rasterizer: full (H*W, F) broadcast. Use at <=128**2."""
-    h = w = image_size
+    w = image_size
+    h = image_height if image_height is not None else image_size
     ys = jnp.arange(h, dtype=jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)
     py, px = jnp.meshgrid(ys, xs, indexing="ij")
@@ -180,13 +182,14 @@ def rasterize_bruteforce(
     )
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def rasterize_xla(
     face_verts: jnp.ndarray,
     image_size: int,
     row_block: int = 16,
     face_chunk: int = 512,
     soft: bool = False,
+    image_height: int = None,
 ) -> Fragments:
     """Memory-bounded rasterizer in pure XLA: lax.map over row blocks,
     lax.scan over face chunks with a running (z, face-id) minimum.
@@ -194,7 +197,8 @@ def rasterize_xla(
     Works on every backend; the CPU production path and the oracle for the
     Pallas kernel at realistic sizes.
     """
-    h = w = image_size
+    w = image_size
+    h = image_height if image_height is not None else image_size
     f = face_verts.shape[0]
     fc = min(face_chunk, max(f, 1))
     n_chunks = -(-f // fc)
@@ -204,7 +208,8 @@ def rasterize_xla(
     fv_chunks = fv.reshape(n_chunks, fc, 3, 3)
 
     rb = min(row_block, h)
-    assert h % rb == 0, f"image_size {h} must be divisible by row_block {rb}"
+    while h % rb:
+        rb -= 1
     n_blocks = h // rb
     xs = jnp.arange(w, dtype=jnp.float32)
 
@@ -281,6 +286,7 @@ def rasterize(
 def rasterize_batch(
     face_verts: jnp.ndarray,      # (N, F, 3, 3)
     settings: RasterizationSettings,
+    image_height: int = None,
 ) -> Fragments:
     """Rasterize a batch of views; Fragments fields get a leading N axis.
 
@@ -300,19 +306,22 @@ def rasterize_batch(
     if backend == "bruteforce":
         return jax.vmap(
             lambda fv: rasterize_bruteforce(
-                fv, settings.image_size, soft=settings.soft
+                fv, settings.image_size, soft=settings.soft,
+                image_height=image_height,
             )
         )(face_verts)
     if backend == "xla":
         return jax.vmap(
             lambda fv: rasterize_xla(
-                fv, settings.image_size, soft=settings.soft
+                fv, settings.image_size, soft=settings.soft,
+                image_height=image_height,
             )
         )(face_verts)
     from st3d.kernels.raster_pallas import rasterize_pallas_batched
 
     return rasterize_pallas_batched(
-        face_verts, settings.image_size, soft=settings.soft
+        face_verts, settings.image_size, soft=settings.soft,
+        image_height=image_height,
     )
 
 
