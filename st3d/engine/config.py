@@ -61,6 +61,7 @@ class PipelineConfig:
     soft_raster: bool = False             # SoftRas silhouette gradients
     soft_sigma_px: float = 1.0            # soft coverage sigmoid width
     vgg_weights: Optional[str] = None
+    auto_uv: str = "none"                 # none | sphere | face_atlas
     save_intermediate: bool = True        # per-step current_images (2nd appr.)
     checkpoint_every: int = 0             # steps/epochs between checkpoints
     resume: bool = False
@@ -116,6 +117,9 @@ def _add_shared(p: argparse.ArgumentParser) -> None:
                    help="soft rasterization (silhouette gradients)")
     p.add_argument("--soft_sigma_px", default=1.0, type=float)
     p.add_argument("--vgg_weights", default=None, type=str)
+    p.add_argument("--auto_uv", default="none", type=str,
+                   choices=["none", "sphere", "face_atlas"],
+                   help="generate UVs for UV-less meshes (teapot)")
     p.add_argument("--save_intermediate", default=True, type=_str2bool)
     p.add_argument("--checkpoint_every", default=0, type=int)
     p.add_argument("--resume", default=False, type=_str2bool)

@@ -65,8 +65,18 @@ from st3d.utils.logging import RunLogger
 
 def load_scene(cfg: PipelineConfig) -> Mesh:
     """Load the mesh + texture, resize the texture to the render size when
-    requested (reference first_approach.py:90-100)."""
-    mesh = load_mesh(resolve_asset(cfg.obj_path), with_topology=True)
+    requested (reference first_approach.py:90-100). With ``--auto_uv`` a
+    UV-less mesh (teapot) gets synthesized UVs + a blank texture instead of
+    the reference's hard crash (first_approach.py:88)."""
+    auto = getattr(cfg, "auto_uv", "none")
+    mesh = load_mesh(
+        resolve_asset(cfg.obj_path), with_topology=True,
+        require_uvs=(auto == "none"),
+    )
+    if auto != "none" and mesh.texture.shape[0] <= 2:
+        from st3d.core.uv import generate_uvs
+
+        mesh = generate_uvs(mesh, mode=auto, texture_size=cfg.size)
     if cfg.resize_texture and mesh.texture.shape[0] != cfg.size:
         tex = jnp.transpose(mesh.texture, (2, 0, 1))
         tex = resize_bilinear_chw(tex, cfg.size)
