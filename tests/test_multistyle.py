@@ -40,3 +40,26 @@ def test_multistyle_two_styles(tmp_path):
         lines = f.read().strip().splitlines()[1:]
     losses = [float(l.rsplit(" ", 1)[1]) for l in lines]
     assert len(losses) == 3 and losses[-1] < losses[0]
+
+
+@pytest.mark.skipif(not HAVE, reason="reference assets absent")
+def test_fleet_two_meshes_two_styles(tmp_path):
+    """Config-5 shape: meshes x styles in one invocation; the UV-less
+    teapot auto-recovers via spherical UVs."""
+    import fleet
+
+    fleet.main([
+        "--obj_paths",
+        f"{REF}/objects/cow_mesh/cow.obj,{REF}/objects/teapot_mesh/teapot.obj",
+        "--style_paths",
+        f"{REF}/imgs/Style_1.jpg,{REF}/imgs/Style_5.png",
+        "--n_views", "2", "--batch_size", "2", "--size", "64",
+        "--epochs", "2", "--randomize_views", "False",
+        "--raster_backend", "xla",
+        "--output_path", str(tmp_path / "fleet"),
+    ])
+    for mesh in ("cow", "teapot"):
+        for style in ("Style_1", "Style_5"):
+            assert os.path.isfile(
+                tmp_path / "fleet" / mesh / style / "final.obj"
+            ), (mesh, style)
