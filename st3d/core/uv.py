@@ -21,8 +21,6 @@ are dropped by the rasterizer's validity mask.
 from __future__ import annotations
 
 import math
-from typing import Tuple
-
 import numpy as np
 import jax.numpy as jnp
 

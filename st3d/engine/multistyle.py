@@ -23,7 +23,7 @@ from __future__ import annotations
 import functools
 import math
 import os
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 import jax
@@ -71,7 +71,7 @@ def _multi_style_content_loss(feats, content_features, style_grams,
             g = gram_matrix(f)
             style_loss = style_loss + jnp.mean(
                 (g - grams_s[layer]) ** 2
-            ) / (c ** 2 * h ** 2)
+            ) / (float(c) ** 2 * float(h) ** 2)  # float: int32 overflow at 768**2
         return content_weight * content_loss + style_weight * style_loss
 
     return jax.vmap(one_style)(

@@ -19,7 +19,6 @@ from typing import Dict, Tuple
 
 import jax.numpy as jnp
 import optax
-from flax import struct
 
 from st3d.core.mesh import Mesh
 

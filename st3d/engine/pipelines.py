@@ -23,8 +23,6 @@ from __future__ import annotations
 import functools
 import math
 import os
-import time
-from typing import Dict, Optional, Tuple
 
 import numpy as np
 import jax
@@ -53,7 +51,6 @@ from st3d.ops.losses import (
     CONTENT_LAYER,
     StyleContentTargets,
     compute_first_approach_loss,
-    compute_second_approach_loss,
     style_content_loss,
 )
 from st3d.render.rasterize import RasterizationSettings

@@ -18,8 +18,6 @@ results (SURVEY.md §3.4/§3.5):
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -11,8 +11,6 @@ convention).
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 import jax.numpy as jnp
 from PIL import Image

@@ -36,8 +36,6 @@ per view.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -212,7 +210,7 @@ def _raster_kernel(bounds_ref, coeffs_ref, *refs, width: int,
         near_ref[0, :, :] = sid_scr[:, :]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def _rasterize_pallas_impl(
     face_verts: jnp.ndarray,      # (N, F, 3, 3)
     image_size: int,
@@ -220,6 +218,7 @@ def _rasterize_pallas_impl(
     interpret: bool,
     soft: bool,
     image_height: int = None,
+    tile_pixels_max: int = TILE_PIXELS,
 ) -> Fragments:
     # Defensive: XLA's constant folder on this stack miscomputes the
     # vmapped preprocessing (batched gather) when face_verts is a jit
@@ -229,7 +228,7 @@ def _rasterize_pallas_impl(
     n, f = face_verts.shape[0], face_verts.shape[1]
     w = image_size
     h = image_height if image_height is not None else image_size
-    tile_pixels = min(1024, h * w)
+    tile_pixels = min(tile_pixels_max, h * w)
     assert (h * w) % tile_pixels == 0, (
         f"image pixel count {h*w} must be divisible by {tile_pixels}"
     )
@@ -339,6 +338,7 @@ def rasterize_pallas_batched(
     face_chunk: int = FACE_CHUNK,
     soft: bool = False,
     image_height: int = None,
+    tile_pixels_max: int = None,
 ) -> Fragments:
     """Rasterize a batch of views in one kernel launch (views = grid dim 0).
 
@@ -347,8 +347,10 @@ def rasterize_pallas_batched(
     with autodiff produced silently-wrong (empty) output on TPU.
     """
     interpret = jax.default_backend() != "tpu"
-    return _rasterize_pallas_impl(face_verts, image_size, face_chunk,
-                                  interpret, soft, image_height)
+    return _rasterize_pallas_impl(
+        face_verts, image_size, face_chunk, interpret, soft, image_height,
+        tile_pixels_max if tile_pixels_max is not None else TILE_PIXELS,
+    )
 
 
 def rasterize_pallas(

@@ -90,7 +90,9 @@ def style_content_loss(
         c, h = feat.shape[1], feat.shape[2]
         g = gram_matrix(feat)
         layer_loss = jnp.mean((g - targets.style_grams[layer]) ** 2)
-        style_loss = style_loss + layer_loss / (c ** 2 * h ** 2)
+        # Divisor as float: c**2 * h**2 overflows int32 already at the
+        # reference's default 768**2 size (64**2 * 768**2 = 2.4e9).
+        style_loss = style_loss + layer_loss / (float(c) ** 2 * float(h) ** 2)
     return content_weight * content_loss + style_weight * style_loss
 
 

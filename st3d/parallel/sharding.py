@@ -21,8 +21,7 @@ through here.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import numpy as np
 import jax

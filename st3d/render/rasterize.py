@@ -32,7 +32,7 @@ cull_backfaces=False); ties in depth go to the lower face index.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -271,6 +271,18 @@ def resolve_backend(settings: RasterizationSettings) -> str:
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend not in ("bruteforce", "xla", "pallas"):
         raise ValueError(f"unknown rasterizer backend {backend!r}")
+    if settings.faces_per_pixel != 1:
+        raise NotImplementedError(
+            "faces_per_pixel > 1 (K-buffers) is not implemented yet; the "
+            "reference runs with faces_per_pixel=1 (first_approach.py:107). "
+            "For soft aggregation use RasterizationSettings(soft=True)."
+        )
+    if settings.blur_radius != 0.0:
+        raise NotImplementedError(
+            "blur_radius > 0 is not implemented; use the soft mode "
+            "(RasterizationSettings(soft=True, soft_sigma_px=...)) which "
+            "provides the silhouette gradients blur_radius exists for."
+        )
     return backend
 
 

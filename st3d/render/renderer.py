@@ -17,7 +17,6 @@ import jax.numpy as jnp
 from st3d.core.mesh import Mesh
 from st3d.core.cameras import FoVPerspectiveCameras
 from st3d.render.rasterize import (
-    Fragments,
     RasterizationSettings,
     face_verts_screen,
     rasterize_batch,

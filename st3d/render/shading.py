@@ -22,8 +22,6 @@ bilinear sampling with align_corners=True and border padding.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

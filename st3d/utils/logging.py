@@ -13,8 +13,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Optional
-
 
 class RunLogger:
     def __init__(self, output_path: str, jsonl: bool = True):

@@ -198,3 +198,32 @@ def test_requires_topology_error():
     mesh = _flat_grid_mesh(1).replace(topology=None)
     with pytest.raises(ValueError, match="topology"):
         mesh_edge_loss(mesh)
+
+
+def test_style_divisor_no_int32_overflow():
+    """Regression: c**2 * h**2 overflows int32 at the reference's default
+    768**2 size (conv1_1: 64**2 * 768**2 = 2.4e9). Synthetic features with
+    h=768 (tiny w keeps it cheap) must not raise."""
+    import jax
+
+    from st3d.ops.losses import STYLE_LAYERS, CONTENT_LAYER, StyleContentTargets
+
+    feats = {}
+    grams = {}
+    shapes = {}
+    rng = np.random.RandomState(0)
+    for layer in STYLE_LAYERS:
+        f = jnp.asarray(rng.rand(1, 64, 768, 2), jnp.float32)
+        feats[layer] = f
+        grams[layer] = gram_matrix(f)
+        shapes[layer] = tuple(f.shape)
+    feats[CONTENT_LAYER] = jnp.asarray(rng.rand(1, 8, 4, 4), jnp.float32)
+    targets = StyleContentTargets(
+        content_features=feats[CONTENT_LAYER],
+        style_grams=grams,
+        feature_shapes=shapes,
+    )
+    val = jax.jit(
+        lambda f: style_content_loss(f, targets, 1e6, 1.0)
+    )(feats)
+    assert np.isfinite(float(val))
