@@ -59,6 +59,7 @@ class PipelineConfig:
     seed: int = 0
     raster_backend: str = "auto"          # auto | pallas | xla | bruteforce
     soft_raster: bool = False             # SoftRas silhouette gradients
+    faces_per_pixel: int = 1              # K>1 (with soft) = softmax-z blend
     soft_sigma_px: float = 1.0            # soft coverage sigmoid width
     vgg_weights: Optional[str] = None
     auto_uv: str = "none"                 # none | sphere | face_atlas
@@ -116,6 +117,8 @@ def _add_shared(p: argparse.ArgumentParser) -> None:
     p.add_argument("--soft_raster", default=False, type=_str2bool,
                    help="soft rasterization (silhouette gradients)")
     p.add_argument("--soft_sigma_px", default=1.0, type=float)
+    p.add_argument("--faces_per_pixel", default=1, type=int,
+                   help="K>1 (requires --soft_raster) = full SoftRas")
     p.add_argument("--vgg_weights", default=None, type=str)
     p.add_argument("--auto_uv", default="none", type=str,
                    choices=["none", "sphere", "face_atlas"],

@@ -130,6 +130,7 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
     settings = RasterizationSettings(
         image_size=cfg.size, backend=cfg.raster_backend,
         soft=cfg.soft_raster, soft_sigma_px=cfg.soft_sigma_px,
+        faces_per_pixel=cfg.faces_per_pixel,
     )
     vgg = get_vgg(cfg.vgg_weights)
     cameras = build_cameras(cfg)
@@ -262,6 +263,7 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
     settings = RasterizationSettings(
         image_size=cfg.size, backend=cfg.raster_backend,
         soft=cfg.soft_raster, soft_sigma_px=cfg.soft_sigma_px,
+        faces_per_pixel=cfg.faces_per_pixel,
     )
     vgg = get_vgg(cfg.vgg_weights)
     cameras = build_cameras(cfg)

@@ -271,11 +271,11 @@ def resolve_backend(settings: RasterizationSettings) -> str:
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend not in ("bruteforce", "xla", "pallas"):
         raise ValueError(f"unknown rasterizer backend {backend!r}")
-    if settings.faces_per_pixel != 1:
+    if settings.faces_per_pixel != 1 and not settings.soft:
         raise NotImplementedError(
-            "faces_per_pixel > 1 (K-buffers) is not implemented yet; the "
-            "reference runs with faces_per_pixel=1 (first_approach.py:107). "
-            "For soft aggregation use RasterizationSettings(soft=True)."
+            "faces_per_pixel > 1 requires soft=True (full SoftRas softmax-z "
+            "aggregation, st3d.render.topk); the reference's hard path runs "
+            "with faces_per_pixel=1 (first_approach.py:107)."
         )
     if settings.blur_radius != 0.0:
         raise NotImplementedError(

@@ -35,6 +35,21 @@ def render_rgba(
     fv = face_verts_screen(
         mesh.verts, mesh.faces, cameras, settings.image_size
     )  # (N, F, 3, 3)
+
+    if settings.soft and settings.faces_per_pixel > 1:
+        # Full SoftRas: K faces per pixel, softmax-z color aggregation.
+        from st3d.render.topk import rasterize_topk, shade_softras
+
+        def one_view_k(fv_view):
+            kfrags = rasterize_topk(fv_view, settings)
+            return shade_softras(
+                fv_view, kfrags.pix_to_face, mesh.verts_uvs,
+                mesh.faces_uvs, mesh.texture,
+                sigma_px=settings.soft_sigma_px, gamma=settings.gamma,
+            )
+
+        return jax.vmap(one_view_k)(fv)
+
     # Visibility for the whole view batch in one (natively batched) raster
     # call; only the differentiable shading epilogue is vmapped.
     frags = rasterize_batch(fv, settings)

@@ -1,0 +1,231 @@
+"""K-face rasterization + full SoftRas softmax-z aggregation
+(``faces_per_pixel > 1``; SURVEY.md D4's "soft aggregation ... softmax-z",
+Liu et al. arXiv:1904.01786 per PAPERS.md).
+
+Per pixel the rasterizer keeps the K nearest-by-depth faces whose signed
+boundary distance exceeds ``-window_px`` (covering faces and near-misses in
+the blur region). Shading computes per-face soft coverage
+``D_k = sigmoid(d_k / sigma)`` and blends colors with depth-softmax weights
+
+    w_k ∝ D_k * exp(znorm_k / gamma),   w_bg ∝ exp(eps / gamma),
+
+where znorm is the [0, 1]-normalized closeness; silhouette alpha is
+``1 - prod_k (1 - D_k)``. As sigma, gamma -> 0 this converges to the hard
+renderer. Selection (the top-K ids) is discrete; all blend math is
+recomputed differentiably in XLA from the projected vertices — the same
+architecture as the K=1 paths (rasterize.py docstring).
+
+Backends: bruteforce (oracle) and a chunked-XLA scan. The Pallas kernel is
+K=1-only so far; on TPU the renderer falls back to the XLA scan for K > 1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from st3d.render.rasterize import (
+    BIG_Z,
+    _pixel_depth_and_cover,
+)
+from st3d.render.shading import (
+    barycentrics_of_triangles,
+    sample_texture,
+)
+from st3d.render.soft import signed_distance_to_faces
+
+
+@struct.dataclass
+class KFragments:
+    """Top-K visibility: pix_to_face (H, W, K) int32 sorted near-to-far
+    (-1 = no eligible face in that slot)."""
+
+    pix_to_face: jnp.ndarray
+
+
+def _topk_from_scores(invz_masked: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(P, F|2K) masked inverse-depth scores (-inf = ineligible) ->
+    (P, K) face-slot indices sorted by descending invz (nearest first)."""
+    _, idx = jax.lax.top_k(invz_masked, k)
+    return idx
+
+
+def rasterize_topk_bruteforce(
+    face_verts: jnp.ndarray, image_size: int, k: int,
+    window_px: float, image_height: int = None,
+) -> KFragments:
+    w = image_size
+    h = image_height if image_height is not None else image_size
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    py, px = jnp.meshgrid(ys, xs, indexing="ij")
+    covered, z, sdist = _pixel_depth_and_cover(
+        face_verts, px.reshape(-1), py.reshape(-1)
+    )  # (P, F)
+    eligible = sdist > -window_px
+    invz = jnp.where(eligible, 1.0 / jnp.maximum(z, 1e-12), -jnp.inf)
+    kk = min(k, invz.shape[1])
+    scores, idx = jax.lax.top_k(invz, kk)  # (P, kk)
+    ids = jnp.where(scores > -jnp.inf, idx, -1).astype(jnp.int32)
+    if kk < k:
+        ids = jnp.concatenate(
+            [ids, jnp.full((ids.shape[0], k - kk), -1, jnp.int32)], axis=1
+        )
+    return KFragments(pix_to_face=ids.reshape(h, w, k))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(1, 2, 3),
+    static_argnames=("row_block", "face_chunk", "image_height"),
+)
+def rasterize_topk_xla(
+    face_verts: jnp.ndarray,
+    image_size: int,
+    k: int,
+    window_px: float,
+    *, row_block: int = 16, face_chunk: int = 512,
+    image_height: int = None,
+) -> KFragments:
+    """Chunked scan carrying a per-pixel top-K (merge via top_k on the
+    concatenation of the carry and the chunk's top-K)."""
+    w = image_size
+    h = image_height if image_height is not None else image_size
+    f = face_verts.shape[0]
+    fc = min(face_chunk, max(f, 1))
+    n_chunks = -(-f // fc)
+    pad = n_chunks * fc - f
+    fv = jnp.pad(face_verts, ((0, pad), (0, 0), (0, 0)))
+    fv_chunks = fv.reshape(n_chunks, fc, 3, 3)
+
+    rb = min(row_block, h)
+    while h % rb:
+        rb -= 1
+    n_blocks = h // rb
+    xs = jnp.arange(w, dtype=jnp.float32)
+
+    def do_block(block_idx):
+        ysb = block_idx * rb + jnp.arange(rb, dtype=jnp.float32)
+        pyb, pxb = jnp.meshgrid(ysb, xs, indexing="ij")
+        pxf = pxb.reshape(-1)
+        pyf = pyb.reshape(-1)
+        p = rb * w
+
+        def scan_chunk(carry, inp):
+            best_scores, best_ids = carry          # (P, K) each
+            chunk_idx, chunk = inp
+            covered, z, sd = _pixel_depth_and_cover(chunk, pxf, pyf)
+            eligible = sd > -window_px
+            invz = jnp.where(eligible, 1.0 / jnp.maximum(z, 1e-12), -jnp.inf)
+            kk = min(k, invz.shape[1])
+            cs, ci = jax.lax.top_k(invz, kk)       # chunk top-k
+            ci = ci + chunk_idx * fc
+            if kk < k:
+                fill = k - kk
+                cs = jnp.concatenate(
+                    [cs, jnp.full((p, fill), -jnp.inf)], axis=1
+                )
+                ci = jnp.concatenate(
+                    [ci, jnp.zeros((p, fill), ci.dtype)], axis=1
+                )
+            merged_s = jnp.concatenate([best_scores, cs], axis=1)
+            merged_i = jnp.concatenate([best_ids, ci], axis=1)
+            ms, sel = jax.lax.top_k(merged_s, k)
+            mi = jnp.take_along_axis(merged_i, sel, axis=1)
+            return (ms, mi), None
+
+        init = (
+            jnp.full((p, k), -jnp.inf, jnp.float32),
+            jnp.zeros((p, k), jnp.int32),
+        )
+        (scores, ids), _ = jax.lax.scan(
+            scan_chunk, init, (jnp.arange(n_chunks), fv_chunks)
+        )
+        ids = jnp.where(scores > -jnp.inf, ids, -1)
+        return ids.reshape(rb, w, k).astype(jnp.int32)
+
+    ids = jax.lax.map(do_block, jnp.arange(n_blocks))
+    return KFragments(pix_to_face=ids.reshape(h, w, k))
+
+
+def rasterize_topk(face_verts, settings) -> KFragments:
+    """Single-view top-K dispatch. TPU note: Pallas is K=1-only so far; the
+    XLA scan runs everywhere."""
+    window = 3.0 * settings.soft_sigma_px
+    k = settings.faces_per_pixel
+    face_verts = jax.lax.stop_gradient(face_verts)
+    if settings.backend == "bruteforce":
+        return rasterize_topk_bruteforce(
+            face_verts, settings.image_size, k, window
+        )
+    return rasterize_topk_xla(
+        face_verts, settings.image_size, k, window
+    )
+
+
+def shade_softras(
+    face_verts: jnp.ndarray,      # (F, 3, 3) differentiable screen verts
+    pix_to_face_k: jnp.ndarray,   # (H, W, K) near-to-far, -1 empty
+    verts_uvs: jnp.ndarray,
+    faces_uvs: jnp.ndarray,
+    texture: jnp.ndarray,
+    sigma_px: float = 1.0,
+    gamma: float = 1e-2,
+    znear: float = 0.1,
+    zfar: float = 100.0,
+    background_color: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    bg_eps: float = 0.0,
+) -> jnp.ndarray:
+    """Full SoftRas color aggregation over the K faces; RGBA (H, W, 4)."""
+    h, w, k = pix_to_face_k.shape
+    valid = pix_to_face_k >= 0
+    safe = jnp.maximum(pix_to_face_k, 0)
+
+    f = face_verts.shape[0]
+    face_uv = verts_uvs[faces_uvs]
+    pack = jnp.concatenate(
+        [face_verts.reshape(f, 9), face_uv.reshape(f, 6)], axis=-1
+    )
+    g = pack[safe]                                        # (H, W, K, 15)
+    tri = g[..., 0:9].reshape(h, w, k, 3, 3)
+    uvf = g[..., 9:15].reshape(h, w, k, 3, 2)
+
+    def per_slot(tri_k, uvf_k, ids_k):
+        bary = barycentrics_of_triangles(tri_k)
+        bary = jnp.maximum(bary, 0.0)
+        bary = bary / jnp.maximum(
+            jnp.sum(bary, axis=-1, keepdims=True), 1e-8
+        )
+        uv = jnp.sum(uvf_k * bary[..., None], axis=-2)
+        rgb = sample_texture(texture, uv)                 # (H, W, 3)
+        sd = signed_distance_to_faces(face_verts, jnp.maximum(ids_k, 0))
+        z = jnp.sum(tri_k[..., 2] * bary, axis=-1)        # approx view z
+        return rgb, sd, z
+
+    rgb_k, sd_k, z_k = jax.vmap(
+        per_slot, in_axes=(2, 2, 2), out_axes=(2, 2, 2)
+    )(tri, uvf, pix_to_face_k)                            # (H, W, K, 3) ...
+
+    d_cov = jax.nn.sigmoid(sd_k / sigma_px)
+    d_cov = jnp.where(valid, d_cov, 0.0)
+
+    # Silhouette: union of per-face soft coverages.
+    alpha = 1.0 - jnp.prod(1.0 - d_cov, axis=-1)
+
+    # Depth softmax: znorm in [0, 1], 1 = at znear.
+    znorm = jnp.clip((zfar - z_k) / (zfar - znear), 0.0, 1.0)
+    znorm = jnp.where(valid, znorm, -jnp.inf)
+    m = jnp.maximum(jnp.max(znorm, axis=-1, keepdims=True), bg_eps)
+    w_face = d_cov * jnp.exp((znorm - m) / gamma)
+    w_bg = jnp.exp((bg_eps - m[..., 0]) / gamma)
+    denom = jnp.sum(w_face, axis=-1) + w_bg
+    bg = jnp.asarray(background_color, rgb_k.dtype)
+    rgb = (
+        jnp.sum(w_face[..., None] * rgb_k, axis=-2)
+        + w_bg[..., None] * bg
+    ) / denom[..., None]
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
