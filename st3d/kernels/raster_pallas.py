@@ -87,7 +87,8 @@ def face_coeffs(face_verts: jnp.ndarray) -> jnp.ndarray:
 
     # Rows 12..14: metric scales h_k = |area| / |edge_k| so that
     # b_k * h_k is the signed PIXEL distance to edge k (used by soft mode);
-    # row 15 pads to 16 sublanes (f32 tile alignment).
+    # rows 15..18: screen bbox (xmin, xmax, ymin, ymax) for proximity
+    # gating of the edge-line distance; row 19 pads.
     abs_area = jnp.abs(area)
 
     def elen(xa, ya, xb, yb):
@@ -97,9 +98,18 @@ def face_coeffs(face_verts: jnp.ndarray) -> jnp.ndarray:
     h1 = abs_area / elen(x2, y2, x0, y0)
     h2 = abs_area / elen(x0, y0, x1, y1)
 
-    neg1 = jnp.full_like(c0, -1.0)
+    # Invalid faces get C = -1e9 so both the coverage test (b >= 0) and the
+    # metric distance d = b*h (h = 1 for invalid) exclude them by a huge
+    # margin — a -1 sentinel made invalid/padding faces rank as "1px away"
+    # in soft nearest-face selection.
+    neg1 = jnp.full_like(c0, -1.0e9)
     zero = jnp.zeros_like(c0)
     one = jnp.ones_like(c0)
+    xmin = jnp.minimum(jnp.minimum(x0, x1), x2)
+    xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
+    ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
+    ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
+    big = jnp.full_like(c0, 1.0e9)
     coeffs = jnp.stack(
         [
             jnp.where(valid, a0, zero), jnp.where(valid, b0, zero),
@@ -112,6 +122,8 @@ def face_coeffs(face_verts: jnp.ndarray) -> jnp.ndarray:
             jnp.where(valid, cz, zero),
             jnp.where(valid, h0, one), jnp.where(valid, h1, one),
             jnp.where(valid, h2, one),
+            jnp.where(valid, xmin, big), jnp.where(valid, xmax, -big),
+            jnp.where(valid, ymin, big), jnp.where(valid, ymax, -big),
             zero,
         ],
         axis=0,
@@ -182,12 +194,18 @@ def _raster_kernel(bounds_ref, coeffs_ref, *refs, width: int,
             invz_scr[:, :] = jnp.maximum(best, cmax)
 
             if soft:
-                # Signed pixel distance to each face's boundary; track the
-                # per-pixel max (nearest face / deepest-inside face).
+                # Signed pixel distance to each face's boundary (edge-line
+                # distance gated by bbox proximity — see face_coeffs);
+                # track the per-pixel max (nearest face).
                 d0 = b0 * blk[12:13, :]
                 d1 = b1 * blk[13:14, :]
                 d2 = b2 * blk[14:15, :]
                 sd = jnp.minimum(jnp.minimum(d0, d1), d2)
+                bbox_sd = jnp.minimum(
+                    jnp.minimum(px - blk[15:16, :], blk[16:17, :] - px),
+                    jnp.minimum(py - blk[17:18, :], blk[18:19, :] - py),
+                )
+                sd = jnp.minimum(sd, bbox_sd)
                 smax = jnp.max(sd, axis=1, keepdims=True)
                 sarg = jnp.argmax(sd, axis=1, keepdims=True).astype(jnp.int32)
                 sbest = sd_scr[:, :]
@@ -262,8 +280,12 @@ def _rasterize_pallas_impl(
         pad = f_pad - f
         if pad:
             # Padding faces: zero A/B, C=-1 -> never covered.
-            pad_col = jnp.zeros((16, pad), coeffs.dtype)
-            pad_col = pad_col.at[2].set(-1.0)
+            pad_col = jnp.zeros((20, pad), coeffs.dtype)
+            pad_col = pad_col.at[2].set(-1.0e9)
+            pad_col = pad_col.at[15].set(1.0e9)
+            pad_col = pad_col.at[16].set(-1.0e9)
+            pad_col = pad_col.at[17].set(1.0e9)
+            pad_col = pad_col.at[18].set(-1.0e9)
             coeffs = jnp.concatenate([coeffs, pad_col], axis=1)
             ymin_s = jnp.concatenate([ymin_s, jnp.full((pad,), jnp.inf)])
             ymax_s = jnp.concatenate([ymax_s, jnp.full((pad,), -jnp.inf)])
@@ -308,7 +330,7 @@ def _rasterize_pallas_impl(
             pl.BlockSpec((1, 2, n_chunks), lambda v, t: (v, 0, 0),
                          memory_space=pltpu.SMEM),
             # This view's coefficient array resident in VMEM for every tile.
-            pl.BlockSpec((1, 16, f_pad), lambda v, t: (v, 0, 0),
+            pl.BlockSpec((1, 20, f_pad), lambda v, t: (v, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(out_specs),
@@ -365,4 +387,180 @@ def rasterize_pallas(
     )
     return Fragments(
         pix_to_face=frags.pix_to_face[0], zbuf=frags.zbuf[0]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-K visibility kernel (faces_per_pixel > 1; full-SoftRas support)
+# ---------------------------------------------------------------------------
+
+def _raster_topk_kernel(bounds_ref, coeffs_ref, ids_ref, scr_s, scr_i, *,
+                        width: int, tile_pixels: int, face_chunk: int,
+                        n_chunks: int, k: int, window_px: float):
+    """Per pixel: the K nearest-by-depth faces with signed boundary distance
+    > -window_px, sorted near-to-far. Same SoA coefficient layout as the
+    K=1 kernel (metric rows 12..14 give pixel-space distances); candidates
+    are extracted per chunk by iterative masked argmax and merged into
+    K sorted scratch slots with vector insertion."""
+    t = pl.program_id(1)
+    tp = tile_pixels
+
+    flat = t * tp + jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    py = (flat // width).astype(jnp.float32)
+    px = (flat % width).astype(jnp.float32)
+    row0 = ((t * tp) // width).astype(jnp.float32)
+    row1 = ((t * tp + (tp - 1)) // width).astype(jnp.float32)
+    margin = window_px + 2.0
+
+    for s in range(k):
+        scr_s[:, s:s + 1] = jnp.full((tp, 1), -3.0e38, jnp.float32)
+        scr_i[:, s:s + 1] = jnp.full((tp, 1), -1, jnp.int32)
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tp, face_chunk), 1)
+
+    def body(c, _):
+        overlaps = (
+            (bounds_ref[0, 1, c] >= row0 - margin)
+            & (bounds_ref[0, 0, c] <= row1 + margin)
+        )
+
+        @pl.when(overlaps)
+        def _():
+            start = pl.multiple_of(c * face_chunk, 128)
+            blk = coeffs_ref[0, :, pl.ds(start, face_chunk)]
+            b0 = px * blk[0:1, :] + py * blk[1:2, :] + blk[2:3, :]
+            b1 = px * blk[3:4, :] + py * blk[4:5, :] + blk[5:6, :]
+            b2 = px * blk[6:7, :] + py * blk[7:8, :] + blk[8:9, :]
+            invz = px * blk[9:10, :] + py * blk[10:11, :] + blk[11:12, :]
+            d0 = b0 * blk[12:13, :]
+            d1 = b1 * blk[13:14, :]
+            d2 = b2 * blk[14:15, :]
+            sd = jnp.minimum(jnp.minimum(d0, d1), d2)
+            bbox_sd = jnp.minimum(
+                jnp.minimum(px - blk[15:16, :], blk[16:17, :] - px),
+                jnp.minimum(py - blk[17:18, :], blk[18:19, :] - py),
+            )
+            sd = jnp.minimum(sd, bbox_sd)
+            # Eligible = within the blur window (invalid faces excluded
+            # via their -1e9 sentinel distances). Raw affine invz is the
+            # score: near-tangent faces may extrapolate invz <= 0 and rank
+            # last, matching the XLA/bruteforce ranking bit-for-bit.
+            mz = jnp.where(sd > -window_px, invz, -3.0e38)
+
+            for _extract in range(k):
+                cmax = jnp.max(mz, axis=1, keepdims=True)
+                carg = jnp.argmax(mz, axis=1, keepdims=True).astype(jnp.int32)
+                mz = jnp.where(col_ids == carg, -3.0e38, mz)
+                new_s = cmax
+                new_i = c * face_chunk + carg
+                # Insertion into the K sorted slots (descending invz).
+                for s in range(k):
+                    slot_s = scr_s[:, s:s + 1]
+                    slot_i = scr_i[:, s:s + 1]
+                    take = new_s > slot_s
+                    scr_s[:, s:s + 1] = jnp.where(take, new_s, slot_s)
+                    scr_i[:, s:s + 1] = jnp.where(take, new_i, slot_i)
+                    new_s = jnp.where(take, slot_s, new_s)
+                    new_i = jnp.where(take, slot_i, new_i)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+    for s in range(k):
+        hit = scr_s[:, s:s + 1] > -1.0e38
+        ids_ref[0, :, s:s + 1] = jnp.where(hit, scr_i[:, s:s + 1], -1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _rasterize_pallas_topk_impl(face_verts, image_size: int, k: int,
+                                window_px: float, face_chunk: int,
+                                interpret: bool):
+    face_verts = jax.lax.optimization_barrier(face_verts)
+    n, f = face_verts.shape[0], face_verts.shape[1]
+    h = w = image_size
+    tile_pixels = min(TILE_PIXELS, h * w)
+    assert (h * w) % tile_pixels == 0
+
+    fc = max(128, (face_chunk // 128) * 128) if not interpret else min(
+        face_chunk, max(f, 8)
+    )
+    n_chunks = -(-f // fc)
+    f_pad = n_chunks * fc
+
+    def preprocess(fv):
+        zs = fv[:, :, 2]
+        ys = fv[:, :, 1]
+        x0, y0_ = fv[:, 0, 0], fv[:, 0, 1]
+        x1, y1_ = fv[:, 1, 0], fv[:, 1, 1]
+        x2, y2_ = fv[:, 2, 0], fv[:, 2, 1]
+        area = (x1 - x0) * (y2_ - y0_) - (y1_ - y0_) * (x2 - x0)
+        valid = jnp.all(zs > Z_EPS, axis=1) & (jnp.abs(area) > AREA_EPS)
+        ymin = jnp.where(valid, jnp.min(ys, axis=1), jnp.inf)
+        ymax = jnp.where(valid, jnp.max(ys, axis=1), -jnp.inf)
+        order = jnp.argsort(ymin, stable=True)
+        coeffs = face_coeffs(fv[order])
+        ymin_s = ymin[order]
+        ymax_s = ymax[order]
+        pad = f_pad - f
+        if pad:
+            pad_col = jnp.zeros((20, pad), coeffs.dtype)
+            pad_col = pad_col.at[2].set(-1.0e9)
+            pad_col = pad_col.at[15].set(1.0e9)
+            pad_col = pad_col.at[16].set(-1.0e9)
+            pad_col = pad_col.at[17].set(1.0e9)
+            pad_col = pad_col.at[18].set(-1.0e9)
+            coeffs = jnp.concatenate([coeffs, pad_col], axis=1)
+            ymin_s = jnp.concatenate([ymin_s, jnp.full((pad,), jnp.inf)])
+            ymax_s = jnp.concatenate([ymax_s, jnp.full((pad,), -jnp.inf)])
+        bounds = jnp.stack([
+            jnp.min(ymin_s.reshape(n_chunks, fc), axis=1),
+            jnp.max(ymax_s.reshape(n_chunks, fc), axis=1),
+        ], axis=0)
+        return coeffs, bounds, order
+
+    coeffs, bounds, order = jax.vmap(preprocess)(face_verts)
+
+    kernel = functools.partial(
+        _raster_topk_kernel, width=w, tile_pixels=tile_pixels,
+        face_chunk=fc, n_chunks=n_chunks, k=k, window_px=window_px,
+    )
+    ids = pl.pallas_call(
+        kernel,
+        grid=(n, (h * w) // tile_pixels),
+        in_specs=[
+            pl.BlockSpec((1, 2, n_chunks), lambda v, t: (v, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 20, f_pad), lambda v, t: (v, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_pixels, k), lambda v, t: (v, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h * w, k), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_pixels, k), jnp.float32),
+            pltpu.VMEM((tile_pixels, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(bounds, coeffs)
+
+    ids = ids.reshape(n, h * w, k)
+    remapped = jnp.where(
+        ids >= 0,
+        jnp.take_along_axis(
+            order.astype(jnp.int32)[:, :, None],
+            jnp.maximum(ids, 0).reshape(n, -1, 1), axis=1,
+        ).reshape(n, h * w, k),
+        -1,
+    )
+    return remapped.reshape(n, h, w, k)
+
+
+def rasterize_pallas_topk(face_verts, image_size: int, k: int,
+                          window_px: float,
+                          face_chunk: int = FACE_CHUNK):
+    """(N, F, 3, 3) -> (N, H, W, K) top-K face ids (near-to-far, -1 empty).
+    The Pallas path for faces_per_pixel > 1 (full SoftRas)."""
+    interpret = jax.default_backend() != "tpu"
+    return _rasterize_pallas_topk_impl(
+        face_verts, image_size, k, window_px, face_chunk, interpret
     )

@@ -150,8 +150,22 @@ def _pixel_depth_and_cover(face_verts, px, py):
     d1 = b1 * abs_area / edge_len(x2, y2, x0, y0)
     d2 = b2 * abs_area / edge_len(x0, y0, x1, y1)
     sdist = jnp.minimum(jnp.minimum(d0, d1), d2)
+    # Gate by bbox proximity: the edge-LINE distance wildly overestimates
+    # closeness for pixels beyond an edge's endpoints (a face 200px away
+    # whose edge line passes through the pixel gets sd ~ 0). min with the
+    # signed bbox distance keeps selection proximity-sane; same rule in the
+    # Pallas kernels (bit-identical selection across backends).
+    xmin = jnp.minimum(jnp.minimum(x0, x1), x2)
+    xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
+    ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
+    ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
+    bbox_sd = jnp.minimum(
+        jnp.minimum(px - xmin, xmax - px),
+        jnp.minimum(py - ymin, ymax - py),
+    )
+    sdist = jnp.minimum(sdist, bbox_sd)
     sdist = jnp.where(valid, sdist, -jnp.inf)
-    return covered, z, sdist
+    return covered, z, sdist, inv_z
 
 
 def rasterize_bruteforce(
@@ -164,7 +178,7 @@ def rasterize_bruteforce(
     ys = jnp.arange(h, dtype=jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)
     py, px = jnp.meshgrid(ys, xs, indexing="ij")
-    covered, z, sdist = _pixel_depth_and_cover(
+    covered, z, sdist, _ = _pixel_depth_and_cover(
         face_verts, px.reshape(-1), py.reshape(-1)
     )  # (P, F)
     zm = jnp.where(covered, z, BIG_Z)
@@ -222,7 +236,7 @@ def rasterize_xla(
         def scan_chunk(carry, inp):
             best_z, best_f, best_sd, best_sf = carry
             chunk_idx, chunk = inp
-            covered, z, sd = _pixel_depth_and_cover(chunk, px, py)  # (P, fc)
+            covered, z, sd, _ = _pixel_depth_and_cover(chunk, px, py)  # (P, fc)
             zm = jnp.where(covered, z, BIG_Z)
             arg = jnp.argmin(zm, axis=1)
             zc = jnp.take_along_axis(zm, arg[:, None], axis=1)[:, 0]

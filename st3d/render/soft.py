@@ -44,9 +44,12 @@ def signed_distance_to_faces(
     face_verts: jnp.ndarray,      # (F, 3, 3) screen verts (differentiable)
     face_ids: jnp.ndarray,        # (H, W) int32 (>= 0)
 ) -> jnp.ndarray:
-    """(H, W) signed pixel distance of each pixel to its assigned face's
-    boundary: positive inside, negative outside. Differentiable w.r.t.
-    ``face_verts``."""
+    """(H, W) EXACT signed pixel distance of each pixel to its assigned
+    face's boundary: positive inside (min distance to the edge lines),
+    negative outside (minus the min distance to the edge SEGMENTS — the
+    naive line distance wildly underestimates for pixels beyond an edge's
+    endpoints, which produced phantom 0.5-alpha streaks along extended edge
+    lines). Differentiable w.r.t. ``face_verts``."""
     h, w = face_ids.shape
     tri = face_verts[face_ids]  # (H, W, 3, 3)
     ys = jnp.arange(h, dtype=jnp.float32)
@@ -59,15 +62,33 @@ def signed_distance_to_faces(
     area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
     sgn = jnp.sign(area)
 
-    def edge_dist(xa, ya, xb, yb):
+    def edge_line_dist(xa, ya, xb, yb):
         cross = (xb - xa) * (py - ya) - (yb - ya) * (px - xa)
         length = jnp.sqrt((xb - xa) ** 2 + (yb - ya) ** 2) + 1e-12
         return sgn * cross / length
 
-    d0 = edge_dist(x1, y1, x2, y2)
-    d1 = edge_dist(x2, y2, x0, y0)
-    d2 = edge_dist(x0, y0, x1, y1)
-    return jnp.minimum(jnp.minimum(d0, d1), d2)
+    def edge_segment_dist(xa, ya, xb, yb):
+        ex, ey = xb - xa, yb - ya
+        qx, qy = px - xa, py - ya
+        t = jnp.clip(
+            (qx * ex + qy * ey) / jnp.maximum(ex * ex + ey * ey, 1e-12),
+            0.0, 1.0,
+        )
+        dx, dy = qx - t * ex, qy - t * ey
+        return jnp.sqrt(dx * dx + dy * dy + 1e-20)
+
+    l0 = edge_line_dist(x1, y1, x2, y2)
+    l1 = edge_line_dist(x2, y2, x0, y0)
+    l2 = edge_line_dist(x0, y0, x1, y1)
+    inside_d = jnp.minimum(jnp.minimum(l0, l1), l2)
+
+    s0 = edge_segment_dist(x1, y1, x2, y2)
+    s1 = edge_segment_dist(x2, y2, x0, y0)
+    s2 = edge_segment_dist(x0, y0, x1, y1)
+    outside_d = jnp.minimum(jnp.minimum(s0, s1), s2)
+
+    inside = inside_d >= 0.0
+    return jnp.where(inside, inside_d, -outside_d)
 
 
 def shade_soft(

@@ -15,8 +15,9 @@ renderer. Selection (the top-K ids) is discrete; all blend math is
 recomputed differentiably in XLA from the projected vertices — the same
 architecture as the K=1 paths (rasterize.py docstring).
 
-Backends: bruteforce (oracle) and a chunked-XLA scan. The Pallas kernel is
-K=1-only so far; on TPU the renderer falls back to the XLA scan for K > 1.
+Backends: bruteforce (oracle), a chunked-XLA scan, and a Pallas TPU
+kernel (st3d.kernels.raster_pallas.rasterize_pallas_topk) — all agree
+bit-for-bit (ranking by raw affine inverse depth).
 """
 
 from __future__ import annotations
@@ -63,11 +64,13 @@ def rasterize_topk_bruteforce(
     ys = jnp.arange(h, dtype=jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)
     py, px = jnp.meshgrid(ys, xs, indexing="ij")
-    covered, z, sdist = _pixel_depth_and_cover(
+    covered, z, sdist, inv_z = _pixel_depth_and_cover(
         face_verts, px.reshape(-1), py.reshape(-1)
     )  # (P, F)
     eligible = sdist > -window_px
-    invz = jnp.where(eligible, 1.0 / jnp.maximum(z, 1e-12), -jnp.inf)
+    # Rank by the RAW affine inv_z (near-tangent faces can extrapolate
+    # inv_z <= 0 and rank last) — identical ordering to the Pallas kernel.
+    invz = jnp.where(eligible, inv_z, -jnp.inf)
     kk = min(k, invz.shape[1])
     scores, idx = jax.lax.top_k(invz, kk)  # (P, kk)
     ids = jnp.where(scores > -jnp.inf, idx, -1).astype(jnp.int32)
@@ -118,9 +121,9 @@ def rasterize_topk_xla(
         def scan_chunk(carry, inp):
             best_scores, best_ids = carry          # (P, K) each
             chunk_idx, chunk = inp
-            covered, z, sd = _pixel_depth_and_cover(chunk, pxf, pyf)
+            covered, z, sd, inv_z = _pixel_depth_and_cover(chunk, pxf, pyf)
             eligible = sd > -window_px
-            invz = jnp.where(eligible, 1.0 / jnp.maximum(z, 1e-12), -jnp.inf)
+            invz = jnp.where(eligible, inv_z, -jnp.inf)
             kk = min(k, invz.shape[1])
             cs, ci = jax.lax.top_k(invz, kk)       # chunk top-k
             ci = ci + chunk_idx * fc
@@ -153,15 +156,27 @@ def rasterize_topk_xla(
 
 
 def rasterize_topk(face_verts, settings) -> KFragments:
-    """Single-view top-K dispatch. TPU note: Pallas is K=1-only so far; the
-    XLA scan runs everywhere."""
+    """Single-view top-K dispatch (all three backends agree bit-for-bit;
+    scores are the raw affine inverse depths)."""
+    from st3d.render.rasterize import resolve_backend
+
     window = 3.0 * settings.soft_sigma_px
     k = settings.faces_per_pixel
     face_verts = jax.lax.stop_gradient(face_verts)
-    if settings.backend == "bruteforce":
+    backend = settings.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "bruteforce":
         return rasterize_topk_bruteforce(
             face_verts, settings.image_size, k, window
         )
+    if backend == "pallas":
+        from st3d.kernels.raster_pallas import rasterize_pallas_topk
+
+        ids = rasterize_pallas_topk(
+            face_verts[None], settings.image_size, k, window
+        )[0]
+        return KFragments(pix_to_face=ids)
     return rasterize_topk_xla(
         face_verts, settings.image_size, k, window
     )

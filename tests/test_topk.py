@@ -120,3 +120,27 @@ def test_fpp_without_soft_still_raises(quad_mesh):
     )
     with pytest.raises(NotImplementedError, match="soft"):
         render_rgba(quad_mesh, _cam(), settings)
+
+
+def test_topk_pallas_matches_bruteforce(sphere_mesh):
+    from st3d.render.rasterize import face_verts_screen
+    from st3d.kernels.raster_pallas import rasterize_pallas_topk
+
+    fv = face_verts_screen(
+        sphere_mesh.verts, sphere_mesh.faces, _cam(3.0), 32
+    )
+    want = rasterize_topk_bruteforce(fv[0], 32, k=4, window_px=3.0)
+    got = rasterize_pallas_topk(fv, 32, 4, 3.0, face_chunk=16)
+    np.testing.assert_array_equal(
+        np.asarray(got[0]), np.asarray(want.pix_to_face)
+    )
+
+
+def test_softras_render_via_pallas_backend(quad_mesh):
+    """The faces_per_pixel>1 renderer path through the pallas dispatch
+    (interpret mode on CPU) matches the bruteforce path."""
+    a = render_rgba(quad_mesh, _cam(), RasterizationSettings(
+        image_size=32, backend="bruteforce", soft=True, faces_per_pixel=3))
+    b = render_rgba(quad_mesh, _cam(), RasterizationSettings(
+        image_size=32, backend="pallas", soft=True, faces_per_pixel=3))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
