@@ -13,6 +13,11 @@ TPU-style:
     over the stacked (S, H, W, 3) atlas optimizes all styles independently
     but simultaneously.
 
+With ``cfg.data_parallel`` the style axis shards across the device mesh
+(each chip owns its styles' texture atlases, renders and Gram targets — an
+embarrassingly parallel layout with ZERO per-step collectives; geometry and
+content features are replicated). Style count must divide the device count.
+
 Outputs: ``output_path/<style_stem>/final.obj`` (+ renders) per style, a
 shared ``log.txt`` with per-step summed loss, and metrics.jsonl carrying the
 per-style loss vector.
@@ -136,6 +141,39 @@ def run_multistyle(cfg: PipelineConfig, style_paths: Sequence[str],
     params = {"textures": textures}
     optimizer = optax.adam(cfg.lr)
     opt_state = optimizer.init(params)
+
+    # Style-axis sharding: textures/grams/losses split over chips; no
+    # collectives (per-style losses touch disjoint parameters).
+    use_dp = cfg.data_parallel and len(jax.devices()) > 1
+    if use_dp:
+        from jax.sharding import Mesh as DevMesh, NamedSharding, PartitionSpec as P
+
+        n_dev = len(jax.devices())
+        if n_styles % n_dev:
+            raise ValueError(
+                f"data_parallel multistyle needs the style count "
+                f"({n_styles}) to divide the {n_dev} devices"
+            )
+        dev_mesh = DevMesh(np.array(jax.devices()), ("styles",))
+        style_sh = NamedSharding(dev_mesh, P("styles"))
+        repl = NamedSharding(dev_mesh, P())
+
+        params = jax.device_put(params, style_sh)
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x, style_sh if x.ndim >= 1 and x.shape[0] == n_styles
+                else repl
+            ) if hasattr(x, "ndim") else x,
+            opt_state,
+        )
+        batch_const = [
+            (
+                jax.device_put(cams_b, repl),
+                jax.device_put(cfeat, repl),
+                jax.device_put(grams, style_sh),
+            )
+            for (cams_b, cfeat, grams) in batch_const
+        ]
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(p, st, cams_b, content_features, style_grams):

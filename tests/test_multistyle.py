@@ -63,3 +63,44 @@ def test_fleet_two_meshes_two_styles(tmp_path):
             assert os.path.isfile(
                 tmp_path / "fleet" / mesh / style / "final.obj"
             ), (mesh, style)
+
+
+@pytest.mark.skipif(not HAVE, reason="reference assets absent")
+def test_multistyle_style_sharded(tmp_path):
+    """8 styles sharded over 8 virtual devices produce the same losses as
+    the single-device run (no collectives: disjoint parameters)."""
+    import jax
+
+    styles = [f"{REF}/imgs/Style_1.jpg", f"{REF}/imgs/Style_5.png",
+              f"{REF}/imgs/Style_3.png", f"{REF}/imgs/Style_4.jpeg"] * 2
+
+    def run(dp, out):
+        cfg = PipelineConfig(
+            obj_path=f"{REF}/objects/cow_mesh/cow.obj",
+            n_views=2, batch_size=2, size=64,
+            output_path=str(tmp_path / out),
+            raster_backend="xla", randomize_views=False, epochs=2,
+            data_parallel=dp,
+        )
+        return run_multistyle(cfg, styles)
+
+    r_dp = run(True, "dp")
+    r_sd = run(False, "sd")
+    for name in r_sd:
+        np.testing.assert_allclose(
+            np.asarray(r_dp[name].texture), np.asarray(r_sd[name].texture),
+            atol=1e-5,
+        )
+
+
+@pytest.mark.skipif(not HAVE, reason="reference assets absent")
+def test_multistyle_dp_bad_count(tmp_path):
+    cfg = PipelineConfig(
+        obj_path=f"{REF}/objects/cow_mesh/cow.obj",
+        n_views=2, batch_size=2, size=64,
+        output_path=str(tmp_path / "bad"),
+        raster_backend="xla", randomize_views=False, epochs=1,
+        data_parallel=True,
+    )
+    with pytest.raises(ValueError, match="divide"):
+        run_multistyle(cfg, [f"{REF}/imgs/Style_1.jpg"] * 3)
