@@ -564,3 +564,191 @@ def rasterize_pallas_topk(face_verts, image_size: int, k: int,
     return _rasterize_pallas_topk_impl(
         face_verts, image_size, k, window_px, face_chunk, interpret
     )
+
+
+# ---------------------------------------------------------------------------
+# 2D-tiled hard-visibility kernel: Morton-ordered faces, x+y chunk culling
+# ---------------------------------------------------------------------------
+
+def _morton_codes(cx: jnp.ndarray, cy: jnp.ndarray, size: float) -> jnp.ndarray:
+    """Interleave 10-bit quantized (x, y) face-bbox centers -> Morton code.
+    Consecutive sorted faces are 2D-local, so face chunks get tight 2D
+    bounds and tiles can skip chunks in BOTH axes."""
+    def spread(v):
+        v = v & 0x3FF
+        v = (v | (v << 8)) & 0x00F00F
+        v = (v | (v << 4)) & 0x0C30C3
+        v = (v | (v << 2)) & 0x249249
+        return v
+
+    qx = jnp.clip((cx / size * 1024.0), 0, 1023).astype(jnp.int32)
+    qy = jnp.clip((cy / size * 1024.0), 0, 1023).astype(jnp.int32)
+    return spread(qx) | (spread(qy) << 1)
+
+
+def _raster2d_kernel(bounds_ref, coeffs_ref, p2f_ref, zbuf_ref,
+                     invz_scr, fid_scr, *, tile_h: int, tile_w: int,
+                     face_chunk: int, n_chunks: int):
+    v = pl.program_id(0)
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+
+    py = (ty * tile_h + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, tile_w), 0)).astype(jnp.float32)
+    px = (tx * tile_w + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, tile_w), 1)).astype(jnp.float32)
+    row0 = (ty * tile_h).astype(jnp.float32)
+    row1 = (ty * tile_h + (tile_h - 1)).astype(jnp.float32)
+    col0 = (tx * tile_w).astype(jnp.float32)
+    col1 = (tx * tile_w + (tile_w - 1)).astype(jnp.float32)
+
+    invz_scr[:, :] = jnp.zeros((tile_h, tile_w), jnp.float32)
+    fid_scr[:, :] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+
+    pxe = px[:, :, None]
+    pye = py[:, :, None]
+
+    def body(c, _):
+        overlaps = (
+            (bounds_ref[0, 1, c] >= row0) & (bounds_ref[0, 0, c] <= row1)
+            & (bounds_ref[0, 3, c] >= col0) & (bounds_ref[0, 2, c] <= col1)
+        )
+
+        @pl.when(overlaps)
+        def _():
+            start = pl.multiple_of(c * face_chunk, 128)
+            blk = coeffs_ref[0, :, pl.ds(start, face_chunk)]  # (20, FC)
+            b0 = pxe * blk[0, :] + pye * blk[1, :] + blk[2, :]
+            b1 = pxe * blk[3, :] + pye * blk[4, :] + blk[5, :]
+            b2 = pxe * blk[6, :] + pye * blk[7, :] + blk[8, :]
+            invz = pxe * blk[9, :] + pye * blk[10, :] + blk[11, :]
+            covered = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0)
+            mz = jnp.where(covered, invz, -1.0)   # (TH, TW, FC)
+            cmax = jnp.max(mz, axis=-1)
+            carg = jnp.argmax(mz, axis=-1).astype(jnp.int32)
+            best = invz_scr[:, :]
+            better = cmax > best
+            fid_scr[:, :] = jnp.where(
+                better, c * face_chunk + carg, fid_scr[:, :]
+            )
+            invz_scr[:, :] = jnp.maximum(best, cmax)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+    best_invz = invz_scr[:, :]
+    hit = best_invz > 0.0
+    p2f_ref[0, :, :] = jnp.where(hit, fid_scr[:, :], -1)
+    zbuf_ref[0, :, :] = jnp.where(
+        hit, 1.0 / jnp.maximum(best_invz, 1e-12), BIG_Z
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _rasterize_pallas2d_impl(face_verts, image_size: int, face_chunk: int,
+                             interpret: bool):
+    face_verts = jax.lax.optimization_barrier(face_verts)
+    n, f = face_verts.shape[0], face_verts.shape[1]
+    h = w = image_size
+    tile_h, tile_w = 8, min(128, w)
+    assert h % tile_h == 0 and w % tile_w == 0
+
+    fc = max(128, (face_chunk // 128) * 128) if not interpret else min(
+        face_chunk, max(f, 8)
+    )
+    n_chunks = -(-f // fc)
+    f_pad = n_chunks * fc
+
+    def preprocess(fv):
+        zs = fv[:, :, 2]
+        xs_ = fv[:, :, 0]
+        ys = fv[:, :, 1]
+        x0, y0_ = fv[:, 0, 0], fv[:, 0, 1]
+        x1, y1_ = fv[:, 1, 0], fv[:, 1, 1]
+        x2, y2_ = fv[:, 2, 0], fv[:, 2, 1]
+        area = (x1 - x0) * (y2_ - y0_) - (y1_ - y0_) * (x2 - x0)
+        valid = jnp.all(zs > Z_EPS, axis=1) & (jnp.abs(area) > AREA_EPS)
+        ymin = jnp.where(valid, jnp.min(ys, axis=1), jnp.inf)
+        ymax = jnp.where(valid, jnp.max(ys, axis=1), -jnp.inf)
+        xmin = jnp.where(valid, jnp.min(xs_, axis=1), jnp.inf)
+        xmax = jnp.where(valid, jnp.max(xs_, axis=1), -jnp.inf)
+        code = _morton_codes(
+            (xmin + xmax) * 0.5, (ymin + ymax) * 0.5, float(image_size)
+        )
+        code = jnp.where(valid, code, jnp.int32(2 ** 30))  # invalid last
+        order = jnp.argsort(code, stable=True)
+        coeffs = face_coeffs(fv[order])
+        ymin_s, ymax_s = ymin[order], ymax[order]
+        xmin_s, xmax_s = xmin[order], xmax[order]
+        pad = f_pad - f
+        if pad:
+            pad_col = jnp.zeros((20, pad), coeffs.dtype)
+            pad_col = pad_col.at[2].set(-1.0e9)
+            pad_col = pad_col.at[15].set(1.0e9)
+            pad_col = pad_col.at[16].set(-1.0e9)
+            pad_col = pad_col.at[17].set(1.0e9)
+            pad_col = pad_col.at[18].set(-1.0e9)
+            coeffs = jnp.concatenate([coeffs, pad_col], axis=1)
+            inf = jnp.full((pad,), jnp.inf)
+            ymin_s = jnp.concatenate([ymin_s, inf])
+            ymax_s = jnp.concatenate([ymax_s, -inf])
+            xmin_s = jnp.concatenate([xmin_s, inf])
+            xmax_s = jnp.concatenate([xmax_s, -inf])
+        bounds = jnp.stack([
+            jnp.min(ymin_s.reshape(n_chunks, fc), axis=1),
+            jnp.max(ymax_s.reshape(n_chunks, fc), axis=1),
+            jnp.min(xmin_s.reshape(n_chunks, fc), axis=1),
+            jnp.max(xmax_s.reshape(n_chunks, fc), axis=1),
+        ], axis=0)
+        return coeffs, bounds, order
+
+    coeffs, bounds, order = jax.vmap(preprocess)(face_verts)
+
+    kernel = functools.partial(
+        _raster2d_kernel, tile_h=tile_h, tile_w=tile_w, face_chunk=fc,
+        n_chunks=n_chunks,
+    )
+    p2f, zbuf = pl.pallas_call(
+        kernel,
+        grid=(n, h // tile_h, w // tile_w),
+        in_specs=[
+            pl.BlockSpec((1, 4, n_chunks), lambda v, ty, tx: (v, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 20, f_pad), lambda v, ty, tx: (v, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile_h, tile_w), lambda v, ty, tx: (v, ty, tx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_h, tile_w), lambda v, ty, tx: (v, ty, tx),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, h, w), jnp.int32),
+            jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h, tile_w), jnp.float32),
+            pltpu.VMEM((tile_h, tile_w), jnp.int32),
+        ],
+        interpret=interpret,
+    )(bounds, coeffs)
+
+    p2f = jnp.where(
+        p2f >= 0,
+        jnp.take_along_axis(
+            order.astype(jnp.int32), p2f.reshape(n, -1), axis=1
+        ).reshape(n, h, w),
+        -1,
+    )
+    return Fragments(pix_to_face=p2f, zbuf=zbuf)
+
+
+def rasterize_pallas2d_batched(face_verts, image_size: int,
+                               face_chunk: int = FACE_CHUNK) -> Fragments:
+    """Experimental 2D-tiled hard rasterizer (Morton-ordered faces, x+y
+    chunk culling). Same outputs as rasterize_pallas_batched (hard mode)."""
+    interpret = jax.default_backend() != "tpu"
+    return _rasterize_pallas2d_impl(
+        face_verts, image_size, face_chunk, interpret
+    )

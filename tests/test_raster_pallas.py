@@ -111,3 +111,20 @@ def test_pallas_constant_operand_matches_arg(sphere_mesh):
         np.asarray(as_arg.pix_to_face), np.asarray(as_const.pix_to_face)
     )
     assert (np.asarray(as_arg.pix_to_face) >= 0).any()
+
+
+def test_pallas2d_matches_oracle(sphere_mesh):
+    """Experimental 2D-tiled (Morton-culled) kernel agrees with the oracle
+    (kept as an alternative; the flat-tile kernel measured faster on v5e)."""
+    from st3d.core.cameras import build_fixed_cameras
+    from st3d.kernels.raster_pallas import rasterize_pallas2d_batched
+    from st3d.render.rasterize import face_verts_screen
+
+    cams = build_fixed_cameras(2, shuffle=False)
+    fv = face_verts_screen(sphere_mesh.verts, sphere_mesh.faces, cams, 64)
+    got = rasterize_pallas2d_batched(fv, 64, face_chunk=32)
+    for i in range(2):
+        want = rasterize_bruteforce(fv[i], 64)
+        np.testing.assert_array_equal(
+            np.asarray(got.pix_to_face[i]), np.asarray(want.pix_to_face)
+        )
