@@ -26,7 +26,7 @@ per-style loss vector.
 from __future__ import annotations
 
 import functools
-import math
+
 import os
 from typing import Dict, Sequence
 

@@ -25,7 +25,7 @@ from typing import Callable, Optional
 
 import numpy as np
 import jax
-import jax.numpy as jnp
+
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 

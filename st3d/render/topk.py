@@ -29,10 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from st3d.render.rasterize import (
-    BIG_Z,
-    _pixel_depth_and_cover,
-)
+from st3d.render.rasterize import _pixel_depth_and_cover
 from st3d.render.shading import (
     barycentrics_of_triangles,
     sample_texture,
@@ -46,13 +43,6 @@ class KFragments:
     (-1 = no eligible face in that slot)."""
 
     pix_to_face: jnp.ndarray
-
-
-def _topk_from_scores(invz_masked: jnp.ndarray, k: int) -> jnp.ndarray:
-    """(P, F|2K) masked inverse-depth scores (-inf = ineligible) ->
-    (P, K) face-slot indices sorted by descending invz (nearest first)."""
-    _, idx = jax.lax.top_k(invz_masked, k)
-    return idx
 
 
 def rasterize_topk_bruteforce(
@@ -158,8 +148,6 @@ def rasterize_topk_xla(
 def rasterize_topk(face_verts, settings) -> KFragments:
     """Single-view top-K dispatch (all three backends agree bit-for-bit;
     scores are the raw affine inverse depths)."""
-    from st3d.render.rasterize import resolve_backend
-
     window = 3.0 * settings.soft_sigma_px
     k = settings.faces_per_pixel
     face_verts = jax.lax.stop_gradient(face_verts)
