@@ -174,7 +174,10 @@ def _raster_kernel(bounds_ref, coeffs_ref, *refs, width: int,
         @pl.when(overlaps)
         def _():
             start = pl.multiple_of(c * face_chunk, 128)
-            blk = coeffs_ref[0, :, pl.ds(start, face_chunk)]  # (12, FC)
+            # Hard mode reads only the 12 affine rows; soft also needs the
+            # metric scales and bbox (rows 12..18).
+            nrows = 19 if soft else 12
+            blk = coeffs_ref[0, :nrows, pl.ds(start, face_chunk)]
             b0 = px * blk[0:1, :] + py * blk[1:2, :] + blk[2:3, :]
             b1 = px * blk[3:4, :] + py * blk[4:5, :] + blk[5:6, :]
             b2 = px * blk[6:7, :] + py * blk[7:8, :] + blk[8:9, :]
