@@ -29,7 +29,7 @@ CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
 
 SIZE = 512
 VIEWS = 4
-TIMED_STEPS = 20
+TIMED_STEPS = 50
 
 
 def build_step():
@@ -73,7 +73,7 @@ def build_step():
         feats = get_features(cur_imgs, vgg)
         return style_content_loss(feats, targets, 1e6, 1.0)
 
-    n_per_call = 5
+    n_per_call = 25
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def steps(p, st):

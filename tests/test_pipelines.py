@@ -228,3 +228,19 @@ def test_first_approach_resume(tmp_path):
     lines = _read_log(os.path.join(cfg2.output_path, "log.txt"))
     assert lines == []  # everything was already done
     assert os.path.isfile(os.path.join(cfg2.output_path, "final.obj"))
+
+
+@pytest.mark.skipif(not HAVE_ASSETS, reason="reference assets absent")
+def test_chunked_epochs_match_per_step(tmp_path):
+    """The scan-chunked epoch path (single batch, no intermediate saving)
+    produces the same loss sequence as the per-step path."""
+    def losses_of(out, save_intermediate):
+        cfg = _tiny_cfg(tmp_path, epochs=5, output_path=str(tmp_path / out),
+                        save_intermediate=save_intermediate)
+        run_second_approach(cfg)
+        lines = _read_log(os.path.join(cfg.output_path, "log.txt"))
+        return [float(l.rsplit(" ", 1)[1]) for l in lines]
+
+    chunked = losses_of("chunk", False)
+    per_step = losses_of("step", True)
+    np.testing.assert_allclose(chunked, per_step, rtol=1e-5)
