@@ -102,7 +102,7 @@ void* st3d_obj_parse(const char* path) {
 
   const char* p = buf.data();
   const char* end = p + buf.size();
-  long cv[16], ct[16], cn[16];  // polygon corners (up to 16-gon)
+  std::vector<long> cv, ct, cn;  // polygon corners (arbitrary n-gon)
 
   while (p < end) {
     p = skip_ws(p, end);
@@ -131,14 +131,20 @@ void* st3d_obj_parse(const char* path) {
       h->normals.push_back(z);
     } else if (p[0] == 'f' && p + 1 < end && p[1] == ' ') {
       p += 2;
-      int ncorners = 0;
-      while (ncorners < 16) {
+      cv.clear();
+      ct.clear();
+      cn.clear();
+      for (;;) {
         p = skip_ws(p, end);
         if (p >= end || *p == '\n' || *p == '#') break;
         if (!isdigit(static_cast<unsigned char>(*p)) && *p != '-') break;
-        p = parse_corner(p, end, &cv[ncorners], &ct[ncorners], &cn[ncorners]);
-        ncorners++;
+        long a, b, c;
+        p = parse_corner(p, end, &a, &b, &c);
+        cv.push_back(a);
+        ct.push_back(b);
+        cn.push_back(c);
       }
+      int ncorners = static_cast<int>(cv.size());
       size_t nv = h->verts.size() / 3;
       size_t nt = h->uvs.size() / 2;
       size_t nn = h->normals.size() / 3;

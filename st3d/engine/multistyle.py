@@ -222,15 +222,17 @@ def run_multistyle(cfg: PipelineConfig, style_paths: Sequence[str],
 
     for epoch in range(start_epoch, epochs):
         total = 0.0
+        per_style_sum = np.zeros(len(style_names))
         for cams_b, cfeat, grams in batch_const:
             params, opt_state, loss, per_style = step(
                 params, opt_state, cams_b, cfeat, grams
             )
             total += float(loss)
+            per_style_sum += np.asarray(per_style)
         logger.log_epoch(
             epoch, total,
             per_style={n: float(v)
-                       for n, v in zip(style_names, np.asarray(per_style))},
+                       for n, v in zip(style_names, per_style_sum)},
         )
         if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
             save_checkpoint(ckpt_path, epoch + 1, params, opt_state, rng)

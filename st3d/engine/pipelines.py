@@ -167,13 +167,61 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
         (p, st), losses = jax.lax.scan(one, (p, st), None, length=n_steps)
         return p, st, losses
 
+    # --- data-parallel MSE phase (reference hot loop B,
+    # first_approach.py:191-212): views shard across all local devices,
+    # texture/vert grads pmean over ICI. Exact: the masked MSE is a mean
+    # over the batch axis, and the mesh regularizers are view-independent
+    # (identical on every shard).
+    use_dp = cfg.data_parallel and len(jax.devices()) > 1
+    if use_dp:
+        from st3d.parallel.sharding import (
+            make_device_mesh,
+            make_view_parallel_step,
+            replicate,
+            shard_views,
+        )
+
+        dev_mesh = make_device_mesh()
+        n_dev = len(dev_mesh.devices)
+        for _, b0, b1 in _batches(cfg.n_views, cfg.batch_size):
+            if (b1 - b0) % n_dev != 0:
+                raise ValueError(
+                    f"data_parallel requires every view batch to divide the "
+                    f"{n_dev} devices; got batch of {b1 - b0} views "
+                    "(adjust --n_views/--batch_size)"
+                )
+
+        def dp_mse_loss(p, cam_R, cam_T, target_imgs):
+            local_cams = FoVPerspectiveCameras.create(R=cam_R, T=cam_T)
+            mesh = apply_params(content_mesh, p)
+            imgs, masks = render_meshes(mesh, local_cams, settings)
+            verts = p.get("verts", content_mesh.verts)
+            return compute_first_approach_loss(
+                imgs, masks, target_imgs, verts, content_mesh.verts, mesh,
+                weights, cfg.optimization_target,
+            )
+
+        dp_mse_step = make_view_parallel_step(dp_mse_loss, optimizer, dev_mesh)
+
     start_batch = 0
+    resume_done = 0          # within-batch MSE steps already applied
+    resume_applied = None    # that batch's 2D-stylized targets
     ckpt_path = os.path.join(cfg.output_path, "checkpoint.npz")
     if cfg.resume and os.path.isfile(ckpt_path):
-        start_batch, params, opt_state, rng = load_checkpoint(
-            ckpt_path, params, opt_state, rng
+        start_batch, params, opt_state, rng, extras = load_checkpoint(
+            ckpt_path, params, opt_state, rng, with_extras=True
         )
-        print(f"Resumed from batch {start_batch}")
+        if "mse_done" in extras:
+            # Mid-batch checkpoint: the 2D-ST targets are stored so resume
+            # continues the MSE phase from `mse_done` instead of re-running
+            # style transfer and over-optimizing the batch.
+            resume_done = int(extras["mse_done"])
+            resume_applied = jnp.asarray(extras["applied"])
+        print(f"Resumed from batch {start_batch}, MSE step {resume_done}")
+
+    if use_dp:
+        params = replicate(params, dev_mesh)
+        opt_state = replicate(opt_state, dev_mesh)
 
     n_batches = math.ceil(cfg.n_views / cfg.batch_size)
     for i, b0, b1 in _batches(cfg.n_views, cfg.batch_size):
@@ -184,60 +232,85 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
         batch_cams = cameras[b0:b1]
         style_b = _load_style(cfg, bsz)
 
-        content_imgs, content_masks = render_jit(content_mesh, batch_cams)
-        rng, r1 = jax.random.split(rng)
-        content_b = apply_background(
-            content_imgs, content_masks, cfg.content_background, style_b, r1
-        )
-
-        if cfg.style_transfer_init == "noise":
-            rng, r2 = jax.random.split(rng)
-            init = jax.random.uniform(r2, content_b.shape, content_b.dtype)
-        elif cfg.style_transfer_init == "content":
-            init = content_b
-        elif cfg.style_transfer_init == "current":
-            cur_mesh = apply_params(content_mesh, params)
-            cur_imgs, cur_masks = render_jit(cur_mesh, batch_cams)
-            rng, r3 = jax.random.split(rng)
-            init = apply_background(
-                cur_imgs, cur_masks, cfg.current_background, style_b, r3
-            )
+        if i == start_batch and resume_applied is not None:
+            applied, done = resume_applied, resume_done
         else:
-            raise ValueError(cfg.style_transfer_init)
-
-        applied = style_transfer(
-            init, content_b, style_b, vgg,
-            steps=cfg.n_style_transfer_steps,
-            style_weight=cfg.style_weight,
-            content_weight=cfg.content_weight,
-            lr=cfg.style_transfer_lr,
-            dtype=dtype,
-        )
-        applied = jnp.clip(applied, 0.0, 1.0)  # finalize_tensor
-
-        arr = np.asarray(applied)
-        for j in range(bsz):
-            save_image(
-                arr[j],
-                os.path.join(cfg.output_path, "2d_style_transfer",
-                             f"view_{i * cfg.batch_size + j}.png"),
-                async_=True,
+            content_imgs, content_masks = render_jit(content_mesh, batch_cams)
+            rng, r1 = jax.random.split(rng)
+            content_b = apply_background(
+                content_imgs, content_masks, cfg.content_background,
+                style_b, r1
             )
+
+            if cfg.style_transfer_init == "noise":
+                rng, r2 = jax.random.split(rng)
+                init = jax.random.uniform(
+                    r2, content_b.shape, content_b.dtype
+                )
+            elif cfg.style_transfer_init == "content":
+                init = content_b
+            elif cfg.style_transfer_init == "current":
+                cur_mesh = apply_params(content_mesh, params)
+                cur_imgs, cur_masks = render_jit(cur_mesh, batch_cams)
+                rng, r3 = jax.random.split(rng)
+                init = apply_background(
+                    cur_imgs, cur_masks, cfg.current_background, style_b, r3
+                )
+            else:
+                raise ValueError(cfg.style_transfer_init)
+
+            applied = style_transfer(
+                init, content_b, style_b, vgg,
+                steps=cfg.n_style_transfer_steps,
+                style_weight=cfg.style_weight,
+                content_weight=cfg.content_weight,
+                lr=cfg.style_transfer_lr,
+                dtype=dtype,
+            )
+            applied = jnp.clip(applied, 0.0, 1.0)  # finalize_tensor
+
+            arr = np.asarray(applied)
+            for j in range(bsz):
+                save_image(
+                    arr[j],
+                    os.path.join(cfg.output_path, "2d_style_transfer",
+                                 f"view_{i * cfg.batch_size + j}.png"),
+                    async_=True,
+                )
+            done = 0
 
         # MSE optimization toward the 2D-stylized targets, through the
         # renderer (hot loop B) — chunked scan, losses logged per step.
-        done = 0
-        chunk = 25 if cfg.checkpoint_every == 0 else min(25, cfg.checkpoint_every)
-        while done < cfg.n_mse_steps:
-            n = min(chunk, cfg.n_mse_steps - done)
-            params, opt_state, losses = mse_steps(
-                params, opt_state, batch_cams, applied, n
+        # Chunks never cross a checkpoint_every boundary, so mid-batch
+        # checkpoints fire for ANY checkpoint_every value.
+        if use_dp:
+            camR_s, camT_s, applied_s = shard_views(
+                (batch_cams.R, batch_cams.T, applied), dev_mesh
             )
-            for k, lv in enumerate(np.asarray(losses)):
-                logger.log_step(i, done + k, float(lv))
+        while done < cfg.n_mse_steps:
+            n = min(25, cfg.n_mse_steps - done)
+            if cfg.checkpoint_every:
+                n = min(n, cfg.checkpoint_every
+                        - (done % cfg.checkpoint_every))
+            if use_dp:
+                for k in range(n):
+                    params, opt_state, loss = dp_mse_step(
+                        params, opt_state, camR_s, camT_s, applied_s
+                    )
+                    logger.log_step(i, done + k, float(loss))
+            else:
+                params, opt_state, losses = mse_steps(
+                    params, opt_state, batch_cams, applied, n
+                )
+                for k, lv in enumerate(np.asarray(losses)):
+                    logger.log_step(i, done + k, float(lv))
             done += n
-            if cfg.checkpoint_every and done % cfg.checkpoint_every == 0:
-                save_checkpoint(ckpt_path, i, params, opt_state, rng)
+            if (cfg.checkpoint_every and done < cfg.n_mse_steps
+                    and done % cfg.checkpoint_every == 0):
+                save_checkpoint(
+                    ckpt_path, i, params, opt_state, rng,
+                    extras={"mse_done": done, "applied": applied},
+                )
 
         save_checkpoint(ckpt_path, i + 1, params, opt_state, rng)
 
@@ -454,7 +527,10 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
                 cams_b.R, cams_b.T, style_b, cimg, cmask, targets))
             for (cams_b, style_b, cimg, cmask, targets) in batch_const
         ]
-        step_counter = 0
+        # On resume, continue the per-step noise-RNG seed sequence where the
+        # crashed run left off (the non-dp path checkpoints its rng key; the
+        # dp path derives seeds from the global step index instead).
+        step_counter = start_epoch * len(batch_const)
 
     if use_chunked:
         (cams_b, style_b, cimg, cmask, targets) = batch_const[0]

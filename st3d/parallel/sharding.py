@@ -76,8 +76,6 @@ def make_view_parallel_step(
     are sharded along 'views', gradients are pmean-reduced over ICI, and aux
     comes back view-sharded.
     """
-    from jax.experimental.shard_map import shard_map
-
     def _step(params, opt_state, *batched):
         if has_aux:
             (loss, aux), grads = jax.value_and_grad(
@@ -101,9 +99,9 @@ def make_view_parallel_step(
         out_specs = (P(), P(), P())
         if has_aux:
             out_specs = out_specs + (P(VIEW_AXIS),)
-        sharded = shard_map(
+        sharded = jax.shard_map(
             _step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_rep=False,
+            check_vma=False,
         )
         return jax.jit(
             sharded, donate_argnums=(0, 1) if donate else ()

@@ -52,8 +52,6 @@ def render_rgba_tiled(
     single-device renderer (shard_map transpose sums the per-band partial
     gradients of the replicated inputs over ICI).
     """
-    from jax.experimental.shard_map import shard_map
-
     n_dev = tile_mesh.devices.size
     h = settings.image_size
     if h % n_dev:
@@ -75,11 +73,11 @@ def render_rgba_tiled(
 
         return jax.vmap(one_view)(fv_local, frags.pix_to_face)
 
-    sharded = shard_map(
+    sharded = jax.shard_map(
         band,
         mesh=tile_mesh,
         in_specs=(P(), P(), P(), P()),
         out_specs=P(None, TILE_AXIS),   # rows concatenated over devices
-        check_rep=False,
+        check_vma=False,
     )
     return sharded(fv, mesh.verts_uvs, mesh.faces_uvs, mesh.texture)

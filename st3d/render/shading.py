@@ -22,6 +22,8 @@ bilinear sampling with align_corners=True and border padding.
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import jax
 import jax.numpy as jnp
 

@@ -22,21 +22,27 @@ def _flatten(tree) -> Tuple[list, Any]:
     return leaves, treedef
 
 
-def save_checkpoint(path: str, step: int, params, opt_state, rng) -> None:
+def save_checkpoint(path: str, step: int, params, opt_state, rng,
+                    extras: Dict[str, Any] = None) -> None:
+    """``extras`` are named arrays restored verbatim (e.g. mid-batch progress
+    counters and the 2D-stylized targets of the in-flight batch)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     arrays: Dict[str, np.ndarray] = {"__step__": np.asarray(step)}
     for prefix, tree in (("p", params), ("o", opt_state), ("r", rng)):
         leaves, _ = _flatten(tree)
         for i, leaf in enumerate(leaves):
             arrays[f"{prefix}{i}"] = np.asarray(leaf)
+    for k, v in (extras or {}).items():
+        arrays[f"x_{k}"] = np.asarray(v)
     tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)
     os.replace(tmp, path)  # atomic: a crash mid-write never corrupts
 
 
 def load_checkpoint(path: str, params_template, opt_state_template,
-                    rng_template):
-    """Restore (step, params, opt_state, rng) with the templates' treedefs.
+                    rng_template, with_extras: bool = False):
+    """Restore (step, params, opt_state, rng[, extras]) with the templates'
+    treedefs.
 
     Raises with a clear message on leaf-count/shape mismatch (e.g. resuming
     with a different optimization_target or texture size).
@@ -64,9 +70,13 @@ def load_checkpoint(path: str, params_template, opt_state_template,
             out.append(arr)
         return jax.tree_util.tree_unflatten(treedef, out)
 
-    return (
+    out = (
         step,
         rebuild("p", params_template),
         rebuild("o", opt_state_template),
         rebuild("r", rng_template),
     )
+    if with_extras:
+        extras = {k[2:]: data[k] for k in data.files if k.startswith("x_")}
+        return out + (extras,)
+    return out

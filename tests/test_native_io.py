@@ -80,3 +80,23 @@ def test_save_image_async_api(tmp_path):
     np.testing.assert_allclose(
         back, np.clip(np.transpose(t, (1, 2, 0)), 0, 1), atol=1 / 255.0 + 1e-6
     )
+
+
+def test_native_parser_large_ngon(tmp_path):
+    """Polygons beyond the old 16-corner buffer triangulate fully (the
+    parser previously truncated them silently; advisor finding r1)."""
+    import math
+
+    n = 24
+    lines = [
+        f"v {math.cos(2 * math.pi * k / n):.6f} "
+        f"{math.sin(2 * math.pi * k / n):.6f} 0.0"
+        for k in range(n)
+    ]
+    lines.append("f " + " ".join(str(i + 1) for i in range(n)))
+    p = tmp_path / "ngon.obj"
+    p.write_text("\n".join(lines) + "\n")
+    nat = parse_obj_native(str(p))
+    py = load_obj(str(p), use_native=False)
+    assert nat["faces"].shape == (n - 2, 3)
+    np.testing.assert_array_equal(nat["faces"], py.faces)

@@ -244,3 +244,102 @@ def test_chunked_epochs_match_per_step(tmp_path):
     chunked = losses_of("chunk", False)
     per_step = losses_of("step", True)
     np.testing.assert_allclose(chunked, per_step, rtol=1e-5)
+
+
+@pytest.mark.skipif(not HAVE_ASSETS, reason="reference assets absent")
+def test_first_approach_midbatch_resume(tmp_path, monkeypatch):
+    """A crash right after a mid-batch checkpoint resumes the MSE phase from
+    the stored step (with the stored 2D-ST targets) instead of re-running
+    style transfer and over-optimizing the batch: the resumed run's final
+    params match an uninterrupted run bit-for-bit."""
+    import st3d.engine.pipelines as pl
+    from st3d.utils.checkpoint import save_checkpoint as real_save
+
+    kw = dict(n_mse_steps=8, n_style_transfer_steps=2, checkpoint_every=3)
+
+    # Uninterrupted run -> golden final params (stored in the checkpoint).
+    cfg_a = _tiny_cfg(tmp_path, output_path=str(tmp_path / "clean"), **kw)
+    run_first_approach(cfg_a)
+    golden = np.load(os.path.join(cfg_a.output_path, "checkpoint.npz"))
+
+    # Interrupted run: crash right after the first mid-batch checkpoint
+    # (done=3 of 8), then resume and finish.
+    cfg_b = _tiny_cfg(tmp_path, output_path=str(tmp_path / "crash"), **kw)
+
+    def crashing_save(path, step, params, opt_state, rng, extras=None):
+        real_save(path, step, params, opt_state, rng, extras=extras)
+        if extras is not None:
+            raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(pl, "save_checkpoint", crashing_save)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_first_approach(cfg_b)
+    monkeypatch.setattr(pl, "save_checkpoint", real_save)
+
+    ck = np.load(os.path.join(cfg_b.output_path, "checkpoint.npz"))
+    assert int(ck["x_mse_done"]) == 3  # mid-batch state persisted
+
+    cfg_b2 = _tiny_cfg(tmp_path, output_path=str(tmp_path / "crash"),
+                       resume=True, **kw)
+    run_first_approach(cfg_b2)
+    resumed = np.load(os.path.join(cfg_b2.output_path, "checkpoint.npz"))
+    for key in golden.files:
+        if key.startswith("p"):
+            np.testing.assert_array_equal(resumed[key], golden[key])
+
+    # Resumed log covers exactly the remaining steps 3..7.
+    lines = _read_log(os.path.join(cfg_b2.output_path, "log.txt"))
+    assert lines[0].startswith("Batch 0, Step 3, ")
+    assert lines[-1].startswith("Batch 0, Step 7, ")
+
+
+@pytest.mark.skipif(not HAVE_ASSETS, reason="reference assets absent")
+def test_first_approach_checkpoint_every_not_multiple_of_chunk(tmp_path):
+    """checkpoint_every values that are not multiples of the 25-step scan
+    chunk still land on exact boundaries (advisor finding r1)."""
+    import st3d.engine.pipelines as pl
+    from st3d.utils.checkpoint import save_checkpoint as real_save
+
+    seen = []
+
+    def recording_save(path, step, params, opt_state, rng, extras=None):
+        if extras is not None:
+            seen.append(int(np.asarray(extras["mse_done"])))
+        real_save(path, step, params, opt_state, rng, extras=extras)
+
+    cfg = _tiny_cfg(tmp_path, n_mse_steps=70, n_style_transfer_steps=2,
+                    checkpoint_every=30)
+    import unittest.mock as mock
+
+    with mock.patch.object(pl, "save_checkpoint", recording_save):
+        run_first_approach(cfg)
+    assert seen == [30, 60]
+
+
+@pytest.mark.skipif(not HAVE_ASSETS, reason="reference assets absent")
+def test_first_approach_data_parallel(tmp_path):
+    """--data_parallel shards the MSE phase's view batch over the 8 virtual
+    devices and matches the single-device run (pmean of per-shard means ==
+    global mean; regularizers are view-independent)."""
+    kw = dict(n_views=8, batch_size=8, n_mse_steps=6,
+              n_style_transfer_steps=2)
+    cfg_dp = _tiny_cfg(tmp_path, output_path=str(tmp_path / "dp"),
+                       data_parallel=True, **kw)
+    run_first_approach(cfg_dp)
+    cfg_sd = _tiny_cfg(tmp_path, output_path=str(tmp_path / "sd"), **kw)
+    run_first_approach(cfg_sd)
+
+    def losses(cfg):
+        lines = _read_log(os.path.join(cfg.output_path, "log.txt"))
+        assert len(lines) == kw["n_mse_steps"]
+        return [float(l.rsplit(" ", 1)[1]) for l in lines]
+
+    np.testing.assert_allclose(losses(cfg_dp), losses(cfg_sd), rtol=1e-4)
+    assert os.path.isfile(os.path.join(cfg_dp.output_path, "final.obj"))
+
+
+@pytest.mark.skipif(not HAVE_ASSETS, reason="reference assets absent")
+def test_first_approach_data_parallel_bad_batch(tmp_path):
+    cfg = _tiny_cfg(tmp_path, n_views=3, batch_size=3, data_parallel=True)
+    with pytest.raises(ValueError, match="devices"):
+        run_first_approach(cfg)
