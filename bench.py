@@ -32,7 +32,7 @@ VIEWS = 4
 TIMED_STEPS = 50
 
 
-def build_step():
+def build_step(dtype_name: str = "bfloat16"):
     """(step_fn, params, opt_state, n_per_call) for the benchmark workload."""
     import functools
 
@@ -51,6 +51,7 @@ def build_step():
     from st3d.render.renderer import render_meshes
     from st3d.utils.assets import resolve_asset
 
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     cfg = PipelineConfig(size=SIZE, n_views=VIEWS)
     mesh = load_scene(cfg)
     cams = build_fixed_cameras(VIEWS, shuffle=False)
@@ -62,7 +63,9 @@ def build_step():
     content_imgs, _ = jax.jit(
         lambda m, c: render_meshes(m, c, settings)
     )(mesh, cams)
-    targets = StyleContentTargets.create(content_imgs, style_b, vgg)
+    targets = StyleContentTargets.create(
+        content_imgs, style_b, vgg, dtype=dtype
+    )
 
     params, optimizer, opt_state = setup_optimizations("texture", mesh, 0.01)
 
@@ -70,7 +73,7 @@ def build_step():
         cur_imgs, _ = render_meshes(
             apply_params(mesh, p), cams, settings
         )
-        feats = get_features(cur_imgs, vgg)
+        feats = get_features(cur_imgs, vgg, dtype=dtype)
         return style_content_loss(feats, targets, 1e6, 1.0)
 
     n_per_call = 25
@@ -90,11 +93,49 @@ def build_step():
     return steps, params, opt_state, n_per_call
 
 
-def measure(tag: str) -> dict:
+# v5e/v5litepod peak: 197 TFLOP/s bf16 per chip (public spec; the MFU
+# denominator). Other chips fall back to the same figure with a note.
+PEAK_BF16_BY_KIND = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+# VGG-19 feature-extractor convs up to conv5_1 (torchvision index 28, where
+# get_features stops): (Cin, Cout, spatial_downscale_factor).
+VGG_CONVS = [
+    (3, 64, 1), (64, 64, 1),                                    # stage 1
+    (64, 128, 2), (128, 128, 2),                                # stage 2
+    (128, 256, 4), (256, 256, 4), (256, 256, 4), (256, 256, 4),  # stage 3
+    (256, 512, 8), (512, 512, 8), (512, 512, 8), (512, 512, 8),  # stage 4
+    (512, 512, 16),                                             # conv5_1
+]
+
+
+def step_flops_analytic() -> float:
+    """Analytic FLOPs of ONE optimization step (the MFU numerator).
+
+    Dominated by the VGG-19 conv stack on VIEWS rendered images: forward
+    2·(H/s)·(W/s)·Cin·Cout·9 per conv, and — weights frozen, so only the
+    activation-gradient transpose conv — backward another 1x forward.
+    Raster, texture-gather epilogue and Gram matmuls are <3% of the conv
+    FLOPs at 512² and excluded, understating MFU slightly rather than
+    inflating it.
+    """
+    fwd = sum(
+        2.0 * (SIZE // s) * (SIZE // s) * cin * cout * 9
+        for cin, cout, s in VGG_CONVS
+    )
+    return 2.0 * VIEWS * fwd  # fwd + activation bwd, per view
+
+
+def measure(tag: str, dtype_name: str = "bfloat16") -> dict:
     import jax
 
     t_setup = time.time()
-    steps, params, opt_state, n = build_step()
+    steps, params, opt_state, n = build_step(dtype_name)
     params, opt_state, losses = steps(params, opt_state)  # compile + warmup
     losses.block_until_ready()
     compile_s = time.time() - t_setup
@@ -108,11 +149,22 @@ def measure(tag: str) -> dict:
     dt = time.time() - t0
     iters_per_sec = done / dt
     views_per_sec = iters_per_sec * VIEWS
+
+    flops = step_flops_analytic()
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_BF16_BY_KIND.get(kind, 197e12)
+    mfu = flops * iters_per_sec / peak if jax.default_backend() == "tpu" \
+        else None
     return {
         "tag": tag,
         "backend": jax.default_backend(),
+        "device_kind": kind,
+        "compute_dtype": dtype_name,
         "iters_per_sec": iters_per_sec,
         "views_per_sec": views_per_sec,
+        "step_tflops": flops / 1e12,
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "peak_tflops_bf16": peak / 1e12,
         "compile_s": compile_s,
         "last_loss": float(losses[-1]),
         "timed_steps": done,
@@ -124,6 +176,10 @@ def main() -> int:
     ap.add_argument("--cpu-baseline", action="store_true",
                     help="measure the CPU reference and write the cache")
     ap.add_argument("--refresh-baseline", action="store_true")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"],
+                    help="VGG compute dtype for the TPU measurement "
+                    "(bf16 is the production configuration)")
     args = ap.parse_args()
 
     if args.cpu_baseline:
@@ -132,7 +188,7 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
         global TIMED_STEPS
         TIMED_STEPS = 2  # CPU VGG at 512**2 is minutes/step; keep it short
-        res = measure("cpu_reference")
+        res = measure("cpu_reference", dtype_name="float32")
         with open(CACHE, "w") as f:
             json.dump(res, f, indent=1)
         print(json.dumps(res), file=sys.stderr)
@@ -148,17 +204,18 @@ def main() -> int:
     with open(CACHE) as f:
         baseline = json.load(f)
 
-    res = measure("tpu")
+    res = measure("tpu", dtype_name=args.dtype)
     print(json.dumps(res, indent=1), file=sys.stderr)
     vs = res["iters_per_sec"] / max(baseline["iters_per_sec"], 1e-9)
     print(json.dumps({
         "metric": (
             "2nd-approach optimization iters/sec (cow, 4 views @512^2, "
-            "texture target, VGG perceptual loss)"
+            f"texture target, VGG perceptual loss, {args.dtype})"
         ),
         "value": round(res["iters_per_sec"], 3),
         "unit": "iters/sec",
         "vs_baseline": round(vs, 2),
+        "mfu": res["mfu"],
     }))
     return 0
 

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Face-count scaling bench (TPU): resident vs streaming raster kernel
+timings across mesh sizes (SURVEY.md §5 scaling axes: resolution AND face
+count). Writes BENCH_FACES.json at the repo root.
+
+Usage: python scripts/bench_faces.py   (on the TPU backend)
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+SIZE = 512
+VIEWS = 4
+REPS = 20
+
+
+def main() -> int:
+    import jax
+    import numpy as np
+
+    from conftest import make_ico_sphere
+    from st3d.core.cameras import build_fixed_cameras
+    from st3d.kernels.raster_pallas import rasterize_pallas_batched
+    from st3d.render.rasterize import face_verts_screen
+
+    assert jax.default_backend() == "tpu", "run on the TPU backend"
+    cams = build_fixed_cameras(VIEWS, shuffle=False)
+    results = {"image_size": SIZE, "n_views": VIEWS, "points": []}
+
+    for level in (3, 4, 5, 6, 7):
+        mesh = make_ico_sphere(level=level)
+        f = mesh.faces.shape[0]
+        fv = face_verts_screen(mesh.verts, mesh.faces, cams, SIZE)
+
+        point = {"faces": int(f)}
+        for name, stream in (("resident", False), ("stream", True)):
+            if name == "resident" and f * 20 * 4 > 12 * 1024 * 1024:
+                point[name + "_ms_per_view"] = None  # would blow VMEM
+                continue
+            fn = jax.jit(
+                lambda v, s=stream: rasterize_pallas_batched(
+                    v, SIZE, stream=s
+                ).pix_to_face
+            )
+            try:
+                out = fn(fv)
+                out.block_until_ready()
+            except Exception as e:  # VMEM OOM etc.
+                point[name + "_error"] = str(e)[:200]
+                continue
+            t0 = time.time()
+            for _ in range(REPS):
+                out = fn(fv)
+            out.block_until_ready()
+            ms = (time.time() - t0) / REPS / VIEWS * 1e3
+            point[name + "_ms_per_view"] = round(ms, 3)
+            point[name + "_coverage"] = round(
+                float((np.asarray(out) >= 0).mean()), 4
+            )
+        results["points"].append(point)
+        print(point, file=sys.stderr)
+
+    with open(os.path.join(REPO, "BENCH_FACES.json"), "w") as fjson:
+        json.dump(results, fjson, indent=1)
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

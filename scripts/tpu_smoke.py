@@ -1,0 +1,281 @@
+#!/usr/bin/env python
+"""On-device TPU kernel regression smoke (one command, run once per round).
+
+The CI suite runs Pallas kernels only in interpret mode on CPU, so Mosaic
+compile/layout miscompiles are structurally invisible to it (this repo has
+already hit two — see CLAUDE.md). This script runs the COMPILED kernels on
+the real chip and asserts:
+
+  1. pallas == xla pix_to_face / zbuf, hard mode, cow @512², 4 views
+  2. pallas == xla nearest_face, soft mode (same scene)
+  3. donation-sensitive jit paths: the donated scan-chunked optimization
+     step produces the same loss trajectory as the undonated variant
+     (donation bugs only manifest on real TPU — CPU ignores donation)
+
+Writes TPU_SMOKE.json at the repo root; exit code 0 iff everything passed.
+
+Usage:  python scripts/tpu_smoke.py        (takes a few minutes: remote
+        Mosaic compiles of the fused graphs dominate)
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SIZE = 512
+VIEWS = 4
+
+
+def main() -> int:
+    t_start = time.time()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    results = {"backend": jax.default_backend(), "checks": {}}
+    ok = True
+
+    def record(name, passed, detail=""):
+        nonlocal ok
+        results["checks"][name] = {"ok": bool(passed), "detail": detail}
+        ok = ok and bool(passed)
+        print(f"[{'PASS' if passed else 'FAIL'}] {name} {detail}",
+              file=sys.stderr)
+
+    if jax.default_backend() != "tpu":
+        record("backend_is_tpu", False,
+               f"default backend is {jax.default_backend()}; this smoke "
+               "must run on the real chip")
+        _write(results, ok=False)
+        return 1
+
+    from st3d.core.cameras import build_fixed_cameras
+    from st3d.io.obj import load_mesh
+    from st3d.render.rasterize import (
+        RasterizationSettings,
+        face_verts_screen,
+        rasterize_batch,
+    )
+    from st3d.utils.assets import resolve_asset
+
+    mesh = load_mesh(resolve_asset("./objects/cow_mesh/cow.obj"))
+    cams = build_fixed_cameras(VIEWS, shuffle=False)
+    fv = face_verts_screen(mesh.verts, mesh.faces, cams, SIZE)
+
+    # --- 1. hard mode: compiled pallas vs xla ------------------------------
+    # On-device the two backends use different FMA orderings, so true depth
+    # near-ties may flip the winner on a handful of pixels (the bit-exact
+    # invariant holds in interpret mode, where the fp paths match — CI
+    # enforces it). A Mosaic miscompile instead produces WRONG faces:
+    # mismatched pixels whose depths disagree, or coverage appearing /
+    # vanishing wholesale. So: mismatch fraction must be tiny AND every
+    # both-covered mismatch must be a depth tie.
+    hard_p = RasterizationSettings(image_size=SIZE, backend="pallas")
+    hard_x = RasterizationSettings(image_size=SIZE, backend="xla")
+    t0 = time.time()
+    frags_p = jax.jit(lambda v: rasterize_batch(v, hard_p))(fv)
+    frags_x = jax.jit(lambda v: rasterize_batch(v, hard_x))(fv)
+    p2f_p = np.asarray(frags_p.pix_to_face)
+    p2f_x = np.asarray(frags_x.pix_to_face)
+    zb_p = np.asarray(frags_p.zbuf)
+    zb_x = np.asarray(frags_x.zbuf)
+    diff = p2f_p != p2f_x
+    frac = diff.mean()
+    both = diff & (p2f_p >= 0) & (p2f_x >= 0)
+    ties_ok = True
+    if both.any():
+        rel = np.abs(zb_p[both] - zb_x[both]) / np.maximum(zb_x[both], 1e-6)
+        ties_ok = bool(rel.max() < 1e-3)
+    cov_flips = int((diff & ~both).sum())
+    record(
+        "hard_pix_to_face_pallas_vs_xla",
+        frac < 5e-5 and ties_ok and cov_flips <= 8,
+        f"{int(diff.sum())} / {p2f_p.size} pixels differ "
+        f"({cov_flips} coverage flips, depth-ties={ties_ok}; "
+        f"compile+run {time.time() - t0:.0f}s)",
+    )
+    cov = (p2f_x >= 0) & ~diff
+    zrel = (np.abs(zb_p - zb_x)[cov] / zb_x[cov]).max() if cov.any() else 0.0
+    record("hard_zbuf_close", float(zrel) < 1e-3,
+           f"max rel |dz| = {float(zrel):.2e}")
+
+    # --- 2. soft mode: observable silhouette coverage agreement ------------
+    # nearest_face ids legitimately differ outside the cull margin (where
+    # coverage is saturated ~0) and on selection-proxy ties; the observable
+    # is sigmoid(sd / sigma). Compare its error distribution.
+    from st3d.render.soft import signed_distance_to_faces
+
+    soft_p = RasterizationSettings(image_size=SIZE, backend="pallas",
+                                   soft=True)
+    soft_x = RasterizationSettings(image_size=SIZE, backend="xla", soft=True)
+    t0 = time.time()
+    sfrags_p = jax.jit(lambda v: rasterize_batch(v, soft_p))(fv)
+    sfrags_x = jax.jit(lambda v: rasterize_batch(v, soft_x))(fv)
+
+    @jax.jit
+    def coverages(nf_p, nf_x):
+        a_p = jax.vmap(
+            lambda f, ids: jax.nn.sigmoid(
+                signed_distance_to_faces(f, ids) / 1.0)
+        )(fv, nf_p)
+        a_x = jax.vmap(
+            lambda f, ids: jax.nn.sigmoid(
+                signed_distance_to_faces(f, ids) / 1.0)
+        )(fv, nf_x)
+        return a_p, a_x
+
+    a_p, a_x = coverages(sfrags_p.nearest_face, sfrags_x.nearest_face)
+    d = np.abs(np.asarray(a_p) - np.asarray(a_x))
+    record(
+        "soft_coverage_pallas_vs_xla",
+        d.mean() < 3e-3 and (d > 0.05).mean() < 0.01,
+        f"mean |da| = {d.mean():.2e}, frac>0.05 = {(d > 0.05).mean():.2e} "
+        f"(compile+run {time.time() - t0:.0f}s)",
+    )
+
+    # --- 2b. streaming kernel (large-face-count path) compiles + agrees ----
+    # The streaming variant (VMEM O(face_chunk)) must match the resident
+    # kernel's output on-device; also exercised at a face count where it is
+    # the auto-selected path.
+    from st3d.kernels.raster_pallas import rasterize_pallas_batched
+
+    t0 = time.time()
+    strm = jax.jit(
+        lambda v: rasterize_pallas_batched(v, SIZE, stream=True)
+    )(fv)
+    sp = np.asarray(strm.pix_to_face)
+    sdiff = sp != p2f_p
+    record(
+        "stream_matches_resident_on_device", sdiff.mean() < 5e-5,
+        f"{int(sdiff.sum())} / {sp.size} pixels differ "
+        f"(compile+run {time.time() - t0:.0f}s)",
+    )
+
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(REPO, "tests"))
+    from conftest import make_ico_sphere
+
+    big = make_ico_sphere(level=6)  # 81,920 faces -> auto-streams
+    bigfv = face_verts_screen(
+        big.verts, big.faces,
+        build_fixed_cameras(1, shuffle=False), SIZE,
+    )
+    t0 = time.time()
+    bg = jax.jit(
+        lambda v: rasterize_batch(
+            v, RasterizationSettings(image_size=SIZE, backend="pallas"))
+    )(bigfv)
+    bw = jax.jit(
+        lambda v: rasterize_batch(
+            v, RasterizationSettings(image_size=SIZE, backend="xla"))
+    )(bigfv)
+    bp = np.asarray(bg.pix_to_face)
+    bx = np.asarray(bw.pix_to_face)
+    bdiff = bp != bx
+    bcov = float((bx >= 0).mean())
+    record(
+        "stream_81920_faces_vs_xla",
+        bdiff.mean() < 5e-4 and bcov > 0.1,
+        f"{int(bdiff.sum())} / {bp.size} pixels differ, coverage {bcov:.2f} "
+        f"(compile+run {time.time() - t0:.0f}s)",
+    )
+
+    # --- 3. donation-sensitive jit paths -----------------------------------
+    # The production second-approach step scans with donated (params,
+    # opt_state) buffers. A donation bug (aliased buffer read after write)
+    # only manifests on the real chip. Run 3 chunks donated vs undonated
+    # from identical initial state: trajectories must match bitwise.
+    import functools
+
+    import optax
+
+    from st3d.engine.optim import apply_params, setup_optimizations
+    from st3d.models.vgg import get_features, get_vgg
+    from st3d.ops.losses import StyleContentTargets, style_content_loss
+    from st3d.render.renderer import render_meshes
+
+    small = 256
+    settings = RasterizationSettings(image_size=small, backend="pallas")
+    tex = jax.image.resize(mesh.texture, (small, small, 3), "bilinear")
+    smesh = mesh.replace(texture=tex)
+    vgg = get_vgg()
+    style_b = jnp.broadcast_to(
+        jnp.linspace(0, 1, small * small * 3).reshape(1, 3, small, small),
+        (VIEWS, 3, small, small),
+    )
+    content_imgs, _ = jax.jit(
+        lambda m, c: render_meshes(m, c, settings)
+    )(smesh, cams)
+    targets = StyleContentTargets.create(content_imgs, style_b, vgg)
+    params0, optimizer, opt_state0 = setup_optimizations(
+        "texture", smesh, 0.01
+    )
+
+    def loss_fn(p):
+        imgs, _ = render_meshes(apply_params(smesh, p), cams, settings)
+        return style_content_loss(
+            get_features(imgs, vgg), targets, 1e6, 1.0
+        )
+
+    def scan_steps(p, st, n):
+        def one(carry, _):
+            p, st = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, st = optimizer.update(grads, st, p)
+            p = optax.apply_updates(p, updates)
+            return (p, st), loss
+
+        (p, st), losses = jax.lax.scan(one, (p, st), None, length=n)
+        return p, st, losses
+
+    donated = jax.jit(functools.partial(scan_steps, n=5),
+                      donate_argnums=(0, 1))
+    plain = jax.jit(functools.partial(scan_steps, n=5))
+
+    def run(step):
+        p = jax.tree_util.tree_map(jnp.copy, params0)
+        st = jax.tree_util.tree_map(jnp.copy, opt_state0)
+        traj = []
+        for _ in range(3):
+            p, st, losses = step(p, st)
+            traj.append(np.asarray(losses))
+        return np.concatenate(traj), np.asarray(p["texture"])
+
+    t0 = time.time()
+    traj_d, tex_d = run(donated)
+    traj_u, tex_u = run(plain)
+    traj_eq = bool(np.array_equal(traj_d, traj_u))
+    tex_eq = bool(np.array_equal(tex_d, tex_u))
+    record(
+        "donated_scan_matches_undonated", traj_eq and tex_eq,
+        f"losses {'==' if traj_eq else '!='}, texture "
+        f"{'==' if tex_eq else '!='} "
+        f"(compile+run {time.time() - t0:.0f}s); "
+        f"final loss {traj_d[-1]:.4g}",
+    )
+    finite = bool(np.isfinite(traj_d).all())
+    decreasing = bool(traj_d[-1] < traj_d[0])
+    record("donated_trajectory_sane", finite and decreasing,
+           f"finite={finite} decreasing={decreasing}")
+
+    results["total_s"] = round(time.time() - t_start, 1)
+    _write(results, ok)
+    return 0 if ok else 1
+
+
+def _write(results, ok):
+    results["ok"] = bool(ok)
+    path = os.path.join(REPO, "TPU_SMOKE.json")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"ok": results["ok"],
+                      "checks": {k: v["ok"]
+                                 for k, v in results["checks"].items()}}))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -133,7 +133,7 @@ def face_coeffs(face_verts: jnp.ndarray) -> jnp.ndarray:
 
 def _raster_kernel(bounds_ref, coeffs_ref, *refs, width: int,
                    tile_pixels: int, face_chunk: int, n_chunks: int,
-                   soft: bool):
+                   soft: bool, soft_margin_px: float):
     if soft:
         (p2f_ref, zbuf_ref, near_ref,
          invz_scr, fid_scr, sd_scr, sid_scr) = refs
@@ -161,9 +161,12 @@ def _raster_kernel(bounds_ref, coeffs_ref, *refs, width: int,
         sd_scr[:, :] = jnp.full((tp, 1), -3.0e38, jnp.float32)
         sid_scr[:, :] = jnp.full((tp, 1), 0, jnp.int32)
 
-    # Soft mode widens the cull band: pixels within MARGIN rows of a face
+    # Soft mode widens the cull band: pixels within the margin of a face
     # still need it as a nearest-face candidate for silhouette gradients.
-    margin = 8.0 if soft else 0.0
+    # The margin is derived from soft_sigma_px by the caller (sigmoid
+    # coverage is negligible beyond ~6 sigma), so large sigmas don't get
+    # their silhouette gradients silently culled.
+    margin = soft_margin_px if soft else 0.0
 
     def body(c, _):
         overlaps = (
@@ -231,7 +234,14 @@ def _raster_kernel(bounds_ref, coeffs_ref, *refs, width: int,
         near_ref[0, :, :] = sid_scr[:, :]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def soft_cull_margin(soft_sigma_px: float) -> float:
+    """Rows beyond a face's bbox that must still see it as a nearest-face
+    candidate: sigmoid(d / sigma) coverage (st3d.render.soft) decays to
+    <0.3% past 6 sigma, so gradients beyond that are numerically dead."""
+    return max(8.0, 6.0 * float(soft_sigma_px))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
 def _rasterize_pallas_impl(
     face_verts: jnp.ndarray,      # (N, F, 3, 3)
     image_size: int,
@@ -240,6 +250,7 @@ def _rasterize_pallas_impl(
     soft: bool,
     image_height: int = None,
     tile_pixels_max: int = TILE_PIXELS,
+    soft_margin_px: float = 8.0,
 ) -> Fragments:
     # Defensive: XLA's constant folder on this stack miscomputes the
     # vmapped preprocessing (batched gather) when face_verts is a jit
@@ -306,7 +317,7 @@ def _rasterize_pallas_impl(
     grid = (n, (h * w) // tile_pixels)
     kernel = functools.partial(
         _raster_kernel, width=w, tile_pixels=tile_pixels, face_chunk=fc,
-        n_chunks=n_chunks, soft=soft,
+        n_chunks=n_chunks, soft=soft, soft_margin_px=soft_margin_px,
     )
     out_block = pl.BlockSpec((1, tile_pixels, 1), lambda v, t: (v, t, 0),
                              memory_space=pltpu.VMEM)
@@ -364,17 +375,28 @@ def rasterize_pallas_batched(
     soft: bool = False,
     image_height: int = None,
     tile_pixels_max: int = None,
+    soft_sigma_px: float = 1.0,
+    stream: bool = None,
 ) -> Fragments:
     """Rasterize a batch of views in one kernel launch (views = grid dim 0).
+
+    Large meshes (coefficient array past RESIDENT_COEFF_BUDGET, ~52k faces)
+    automatically switch to the streaming kernel whose VMEM residency is
+    O(face_chunk); ``stream`` forces either variant (tests).
 
     This is the path the renderer uses for vmap-over-views: do NOT wrap the
     single-view entry in jax.vmap — pallas_call's batching rule combined
     with autodiff produced silently-wrong (empty) output on TPU.
     """
     interpret = jax.default_backend() != "tpu"
-    return _rasterize_pallas_impl(
+    if stream is None:
+        f = face_verts.shape[1]
+        stream = f * 20 * 4 > RESIDENT_COEFF_BUDGET
+    impl = _rasterize_pallas_stream_impl if stream else _rasterize_pallas_impl
+    return impl(
         face_verts, image_size, face_chunk, interpret, soft, image_height,
         tile_pixels_max if tile_pixels_max is not None else TILE_PIXELS,
+        soft_cull_margin(soft_sigma_px),
     )
 
 
@@ -390,6 +412,246 @@ def rasterize_pallas(
     )
     return Fragments(
         pix_to_face=frags.pix_to_face[0], zbuf=frags.zbuf[0]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant: VMEM residency O(face_chunk), faces stream from HBM
+# ---------------------------------------------------------------------------
+#
+# The resident kernel above keeps the whole (20, F_pad) coefficient array in
+# VMEM per view — ideal for reference-scale meshes (cow 5,856 / bob 10,696
+# tris) but impossible at large face counts (500k faces = 40 MB > VMEM).
+# This variant instead walks face chunks on a third grid dimension whose
+# coefficient BlockSpec index is driven by per-tile chunk RANGES (scalar
+# prefetch): tile t only visits chunks [c_lo(t), c_hi(t)] of the y-sorted
+# order — Pallas double-buffers the chunk loads automatically, indices
+# clamped at c_hi repeat the same block (no reload, compute skipped).
+# Residency: one (nrows, fc) chunk (+ pipeline buffer) regardless of F.
+
+# Streaming kicks in above this budget for the resident coefficient array
+# (bytes); 4 MB = ~52k faces. Below it the resident kernel is faster (it
+# reads each face exactly once per view).
+RESIDENT_COEFF_BUDGET = 4 * 1024 * 1024
+
+
+def _stream_kernel(ranges_ref, coeffs_ref, *refs, width: int,
+                   tile_pixels: int, face_chunk: int, soft: bool):
+    if soft:
+        (p2f_ref, zbuf_ref, near_ref,
+         invz_scr, fid_scr, sd_scr, sid_scr) = refs
+    else:
+        p2f_ref, zbuf_ref, invz_scr, fid_scr = refs
+    v = pl.program_id(0)
+    t = pl.program_id(1)
+    k = pl.program_id(2)
+    tp = tile_pixels
+
+    c_lo = ranges_ref[v, t, 0]
+    c_hi = ranges_ref[v, t, 1]
+    c = jnp.minimum(c_lo + k, c_hi)
+    active = (c_lo + k) <= c_hi
+
+    @pl.when(k == 0)
+    def _():
+        invz_scr[:, :] = jnp.full((tp, 1), 0.0, jnp.float32)
+        fid_scr[:, :] = jnp.full((tp, 1), -1, jnp.int32)
+        if soft:
+            sd_scr[:, :] = jnp.full((tp, 1), -3.0e38, jnp.float32)
+            sid_scr[:, :] = jnp.full((tp, 1), 0, jnp.int32)
+
+    flat = t * tp + jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    py = (flat // width).astype(jnp.float32)
+    px = (flat % width).astype(jnp.float32)
+
+    @pl.when(active)
+    def _():
+        blk = coeffs_ref[0, :, :]  # (nrows, fc) — this chunk's block
+        b0 = px * blk[0:1, :] + py * blk[1:2, :] + blk[2:3, :]
+        b1 = px * blk[3:4, :] + py * blk[4:5, :] + blk[5:6, :]
+        b2 = px * blk[6:7, :] + py * blk[7:8, :] + blk[8:9, :]
+        invz = px * blk[9:10, :] + py * blk[10:11, :] + blk[11:12, :]
+        covered = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0)
+        mz = jnp.where(covered, invz, -1.0)
+        cmax = jnp.max(mz, axis=1, keepdims=True)
+        carg = jnp.argmax(mz, axis=1, keepdims=True).astype(jnp.int32)
+        best = invz_scr[:, :]
+        better = cmax > best  # same strict tie-break as the resident kernel
+        fid_scr[:, :] = jnp.where(
+            better, c * face_chunk + carg, fid_scr[:, :]
+        )
+        invz_scr[:, :] = jnp.maximum(best, cmax)
+
+        if soft:
+            d0 = b0 * blk[12:13, :]
+            d1 = b1 * blk[13:14, :]
+            d2 = b2 * blk[14:15, :]
+            sd = jnp.minimum(jnp.minimum(d0, d1), d2)
+            bbox_sd = jnp.minimum(
+                jnp.minimum(px - blk[15:16, :], blk[16:17, :] - px),
+                jnp.minimum(py - blk[17:18, :], blk[18:19, :] - py),
+            )
+            sd = jnp.minimum(sd, bbox_sd)
+            smax = jnp.max(sd, axis=1, keepdims=True)
+            sarg = jnp.argmax(sd, axis=1, keepdims=True).astype(jnp.int32)
+            sbest = sd_scr[:, :]
+            sbetter = smax > sbest
+            sid_scr[:, :] = jnp.where(
+                sbetter, c * face_chunk + sarg, sid_scr[:, :]
+            )
+            sd_scr[:, :] = jnp.maximum(sbest, smax)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        best_invz = invz_scr[:, :]
+        hit = best_invz > 0.0
+        p2f_ref[0, :, :] = jnp.where(hit, fid_scr[:, :], -1)
+        zbuf_ref[0, :, :] = jnp.where(
+            hit, 1.0 / jnp.maximum(best_invz, 1e-12), BIG_Z
+        )
+        if soft:
+            near_ref[0, :, :] = sid_scr[:, :]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+def _rasterize_pallas_stream_impl(
+    face_verts: jnp.ndarray,      # (N, F, 3, 3)
+    image_size: int,
+    face_chunk: int,
+    interpret: bool,
+    soft: bool,
+    image_height: int = None,
+    tile_pixels_max: int = TILE_PIXELS,
+    soft_margin_px: float = 8.0,
+) -> Fragments:
+    face_verts = jax.lax.optimization_barrier(face_verts)
+    n, f = face_verts.shape[0], face_verts.shape[1]
+    w = image_size
+    h = image_height if image_height is not None else image_size
+    tile_pixels = min(tile_pixels_max, h * w)
+    assert (h * w) % tile_pixels == 0
+    n_tiles = (h * w) // tile_pixels
+
+    fc = max(128, (face_chunk // 128) * 128) if not interpret else min(
+        face_chunk, max(f, 8)
+    )
+    n_chunks = -(-f // fc)
+    f_pad = n_chunks * fc
+    margin = soft_margin_px if soft else 0.0
+    nrows = 19 if soft else 12
+
+    def preprocess(fv):
+        zs = fv[:, :, 2]
+        ys = fv[:, :, 1]
+        x0, y0_ = fv[:, 0, 0], fv[:, 0, 1]
+        x1, y1_ = fv[:, 1, 0], fv[:, 1, 1]
+        x2, y2_ = fv[:, 2, 0], fv[:, 2, 1]
+        area = (x1 - x0) * (y2_ - y0_) - (y1_ - y0_) * (x2 - x0)
+        valid = jnp.all(zs > Z_EPS, axis=1) & (jnp.abs(area) > AREA_EPS)
+        ymin = jnp.where(valid, jnp.min(ys, axis=1), jnp.inf)
+        ymax = jnp.where(valid, jnp.max(ys, axis=1), -jnp.inf)
+        order = jnp.argsort(ymin, stable=True)
+
+        coeffs = face_coeffs(fv[order])
+        ymin_s = ymin[order]
+        ymax_s = ymax[order]
+        pad = f_pad - f
+        if pad:
+            pad_col = jnp.zeros((20, pad), coeffs.dtype)
+            pad_col = pad_col.at[2].set(-1.0e9)
+            pad_col = pad_col.at[15].set(1.0e9)
+            pad_col = pad_col.at[16].set(-1.0e9)
+            pad_col = pad_col.at[17].set(1.0e9)
+            pad_col = pad_col.at[18].set(-1.0e9)
+            coeffs = jnp.concatenate([coeffs, pad_col], axis=1)
+            ymin_s = jnp.concatenate([ymin_s, jnp.full((pad,), jnp.inf)])
+            ymax_s = jnp.concatenate([ymax_s, jnp.full((pad,), -jnp.inf)])
+
+        chunk_ymin = jnp.min(ymin_s.reshape(n_chunks, fc), axis=1)
+        chunk_ymax = jnp.max(ymax_s.reshape(n_chunks, fc), axis=1)
+
+        # Per-tile chunk range [c_lo, c_hi] (inclusive) covering every
+        # chunk whose row band intersects the tile's rows (+soft margin).
+        t_idx = jnp.arange(n_tiles)
+        row0 = ((t_idx * tile_pixels) // w).astype(jnp.float32)
+        row1 = ((t_idx * tile_pixels + (tile_pixels - 1)) // w).astype(
+            jnp.float32
+        )
+        overlap = (
+            (chunk_ymax[None, :] >= row0[:, None] - margin)
+            & (chunk_ymin[None, :] <= row1[:, None] + margin)
+        )  # (n_tiles, n_chunks)
+        any_overlap = jnp.any(overlap, axis=1)
+        first = jnp.argmax(overlap, axis=1).astype(jnp.int32)
+        last = (
+            n_chunks - 1 - jnp.argmax(overlap[:, ::-1], axis=1)
+        ).astype(jnp.int32)
+        # No overlap -> empty range (c_lo=1 > c_hi=0): kernel never fires.
+        c_lo = jnp.where(any_overlap, first, 1)
+        c_hi = jnp.where(any_overlap, last, 0)
+        ranges = jnp.stack([c_lo, c_hi], axis=1)  # (n_tiles, 2)
+        return coeffs[:nrows], ranges, order
+
+    coeffs, ranges, order = jax.vmap(preprocess)(face_verts)
+
+    kernel = functools.partial(
+        _stream_kernel, width=w, tile_pixels=tile_pixels, face_chunk=fc,
+        soft=soft,
+    )
+    out_block = pl.BlockSpec(
+        (1, tile_pixels, 1), lambda v, t, k, rng: (v, t, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_specs = [out_block, out_block]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, h * w, 1), jnp.int32),
+        jax.ShapeDtypeStruct((n, h * w, 1), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((tile_pixels, 1), jnp.float32),
+        pltpu.VMEM((tile_pixels, 1), jnp.int32),
+    ]
+    if soft:
+        out_specs.append(out_block)
+        out_shape.append(jax.ShapeDtypeStruct((n, h * w, 1), jnp.int32))
+        scratch += [
+            pltpu.VMEM((tile_pixels, 1), jnp.float32),
+            pltpu.VMEM((tile_pixels, 1), jnp.int32),
+        ]
+
+    def coeff_index(v, t, k, rng):
+        # Clamped walk over this tile's chunk range; repeats at c_hi cause
+        # no reload (same block index) and their compute is pl.when-skipped.
+        return (v, 0, jnp.minimum(rng[v, t, 0] + k, rng[v, t, 1]))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, nrows, fc), coeff_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(ranges, coeffs)
+    p2f, zbuf = outs[0], outs[1]
+
+    def remap(ids_flat):
+        return jnp.take_along_axis(
+            order.astype(jnp.int32), ids_flat.reshape(n, -1), axis=1
+        ).reshape(n, h, w)
+
+    p2f = p2f.reshape(n, h, w)
+    p2f = jnp.where(p2f >= 0, remap(p2f), -1)
+    nearest = remap(outs[2]) if soft else None
+    return Fragments(
+        pix_to_face=p2f, zbuf=zbuf.reshape(n, h, w), nearest_face=nearest
     )
 
 

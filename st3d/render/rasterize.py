@@ -285,18 +285,6 @@ def resolve_backend(settings: RasterizationSettings) -> str:
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend not in ("bruteforce", "xla", "pallas"):
         raise ValueError(f"unknown rasterizer backend {backend!r}")
-    if settings.faces_per_pixel != 1 and not settings.soft:
-        raise NotImplementedError(
-            "faces_per_pixel > 1 requires soft=True (full SoftRas softmax-z "
-            "aggregation, st3d.render.topk); the reference's hard path runs "
-            "with faces_per_pixel=1 (first_approach.py:107)."
-        )
-    if settings.blur_radius != 0.0:
-        raise NotImplementedError(
-            "blur_radius > 0 is not implemented; use the soft mode "
-            "(RasterizationSettings(soft=True, soft_sigma_px=...)) which "
-            "provides the silhouette gradients blur_radius exists for."
-        )
     return backend
 
 
@@ -329,6 +317,21 @@ def rasterize_batch(
     # prunes dead backward compute from the XLA backends.
     face_verts = jax.lax.stop_gradient(face_verts)
     backend = resolve_backend(settings)
+    if not settings.soft and (
+        settings.blur_radius != 0.0 or settings.faces_per_pixel != 1
+    ):
+        # PyTorch3D hard semantics with a blur window and/or K slots
+        # (RasterizationSettings at reference first_approach.py:107): the
+        # winner may be a non-covering face within sqrt(blur_radius) NDC of
+        # the pixel. Full K-deep output (zbuf/bary/dists) via
+        # st3d.render.topk.rasterize_hard_k; this entry keeps the
+        # Fragments contract by taking the nearest slot.
+        from st3d.render.topk import rasterize_hard_k
+
+        hk = rasterize_hard_k(face_verts, settings)
+        p2f = hk.pix_to_face[..., 0]
+        zbuf = jnp.where(p2f >= 0, hk.zbuf[..., 0], BIG_Z)
+        return Fragments(pix_to_face=p2f, zbuf=zbuf)
     if backend == "bruteforce":
         return jax.vmap(
             lambda fv: rasterize_bruteforce(
@@ -347,7 +350,7 @@ def rasterize_batch(
 
     return rasterize_pallas_batched(
         face_verts, settings.image_size, soft=settings.soft,
-        image_height=image_height,
+        image_height=image_height, soft_sigma_px=settings.soft_sigma_px,
     )
 
 

@@ -145,10 +145,13 @@ def rasterize_topk_xla(
     return KFragments(pix_to_face=ids.reshape(h, w, k))
 
 
-def rasterize_topk(face_verts, settings) -> KFragments:
+def rasterize_topk(face_verts, settings, window_px: float = None
+                   ) -> KFragments:
     """Single-view top-K dispatch (all three backends agree bit-for-bit;
-    scores are the raw affine inverse depths)."""
-    window = 3.0 * settings.soft_sigma_px
+    scores are the raw affine inverse depths). ``window_px`` overrides the
+    soft-mode default eligibility window (used by the hard blur path)."""
+    window = (3.0 * settings.soft_sigma_px if window_px is None
+              else window_px)
     k = settings.faces_per_pixel
     face_verts = jax.lax.stop_gradient(face_verts)
     backend = settings.backend
@@ -232,3 +235,125 @@ def shade_softras(
         + w_bg[..., None] * bg
     ) / denom[..., None]
     return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Hard K-face fragments with blur_radius (PyTorch3D rasterizer API parity)
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class HardKFragments:
+    """PyTorch3D-shaped rasterizer output (SURVEY.md D4:
+    ``RasterizationSettings(image_size, blur_radius, faces_per_pixel)``,
+    reference config first_approach.py:107): per pixel the K nearest-by-depth
+    candidate faces, where a candidate either covers the pixel or lies within
+    the blur window (squared NDC distance < blur_radius).
+
+    pix_to_face: (N, H, W, K) int32, near-to-far, -1 = empty slot.
+    zbuf:        (N, H, W, K) perspective-correct view z (-1 empty).
+    bary:        (N, H, W, K, 3) perspective-correct barycentrics, clipped
+                 to >= 0 outside the face like PyTorch3D's blur candidates
+                 are NOT — raw (possibly negative) values kept (-1 empty).
+    dists:       (N, H, W, K) signed SQUARED NDC distance of the pixel to
+                 the face boundary, PyTorch3D sign convention (negative
+                 inside, positive outside; -1 empty).
+    """
+
+    pix_to_face: jnp.ndarray
+    zbuf: jnp.ndarray
+    bary: jnp.ndarray
+    dists: jnp.ndarray
+
+
+def blur_window_px(blur_radius: float, image_size: int) -> float:
+    """PyTorch3D's blur_radius is a squared NDC distance; candidates satisfy
+    dist_ndc**2 < blur_radius, i.e. |dist_px| < sqrt(blur) * size / 2 (NDC
+    spans 2 units over the image)."""
+    import math
+
+    return math.sqrt(max(float(blur_radius), 0.0)) * image_size / 2.0
+
+
+def rasterize_hard_k(face_verts: jnp.ndarray, settings) -> HardKFragments:
+    """Hard-mode rasterization with faces_per_pixel >= 1 and blur_radius >= 0
+    for a view batch ``face_verts`` (N, F, 3, 3).
+
+    Selection runs on the discrete top-K machinery (proxy signed distance,
+    a provable lower bound of the exact distance, so the candidate set is a
+    superset) with ``slack`` extra slots; the differentiable epilogue
+    recomputes EXACT segment-clamped distances, filters to PyTorch3D's
+    admission rule, and compacts the surviving slots near-to-far. Exact
+    unless more than ``slack`` proxy-only candidates precede a true
+    candidate in depth order (impossible at the reference's K=1/blur=0).
+    """
+    k = settings.faces_per_pixel
+    size = settings.image_size
+    blur = float(settings.blur_radius)
+    window = blur_window_px(blur, size)
+    face_verts = jax.lax.stop_gradient(face_verts)
+
+    backend = settings.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    # Proxy eligibility needs a slightly positive window so boundary pixels
+    # (exact sd == 0) are admitted at blur == 0; exact filter below. Slack
+    # slots absorb proxy-only candidates that the exact filter removes.
+    win_eff = max(window, 1e-3)
+    slack = 4 if (blur > 0.0 or k > 1) else 0
+    kk = k + slack
+    if backend == "pallas":
+        from st3d.kernels.raster_pallas import rasterize_pallas_topk
+
+        ids = rasterize_pallas_topk(face_verts, size, kk, win_eff)
+    elif backend == "bruteforce":
+        ids = jax.vmap(
+            lambda fv: rasterize_topk_bruteforce(
+                fv, size, kk, win_eff
+            ).pix_to_face
+        )(face_verts)
+    else:
+        ids = jax.vmap(
+            lambda fv: rasterize_topk_xla(
+                fv, size, kk, win_eff
+            ).pix_to_face
+        )(face_verts)
+
+    def epilogue(fv, ids_k):               # (F, 3, 3), (H, W, K)
+        valid = ids_k >= 0
+        safe = jnp.maximum(ids_k, 0)
+
+        def per_slot(ids_s):
+            tri = fv[ids_s]                 # (H, W, 3, 3)
+            bary = barycentrics_of_triangles(tri)
+            # bary are already perspective-correct -> interpolate z directly.
+            z = jnp.sum(bary * tri[..., 2], axis=-1)
+            sd_px = signed_distance_to_faces(fv, ids_s)  # + inside
+            return bary, z, sd_px
+
+        bary, z, sd_px = jax.vmap(
+            per_slot, in_axes=2, out_axes=(2, 2, 2)
+        )(safe)                             # (H, W, K, 3), (H, W, K) x2
+
+        # PyTorch3D sign convention + NDC squared units.
+        sd_ndc = sd_px * (2.0 / size)
+        dists = -jnp.sign(sd_px) * sd_ndc * sd_ndc
+
+        # Exact admission: covers the pixel, or within the blur window.
+        keep = valid & ((sd_px >= 0.0) | (dists < blur))
+        # Compact surviving slots near-to-far, drop the slack tail.
+        order = jnp.argsort(~keep, axis=-1, stable=True)
+        take = lambda a: jnp.take_along_axis(a, order, axis=-1)[..., :k]
+        keep_c = take(keep)
+        ids_out = jnp.where(keep_c, take(ids_k), -1)
+        zbuf = jnp.where(keep_c, take(z), -1.0)
+        dists_c = jnp.where(keep_c, take(dists), -1.0)
+        bary = jnp.take_along_axis(
+            bary, order[..., None], axis=-2
+        )[..., :k, :]
+        bary = jnp.where(keep_c[..., None], bary, -1.0)
+        return ids_out, zbuf, bary, dists_c
+
+    ids_o, zbuf, bary, dists = jax.vmap(epilogue)(face_verts, ids)
+    return HardKFragments(
+        pix_to_face=ids_o, zbuf=zbuf, bary=bary, dists=dists
+    )

@@ -136,3 +136,64 @@ def test_soft_alpha_monotone_in_scale(sphere_mesh):
         return float(jnp.sum(rgba[..., 3]))
 
     assert cov(0.8) < cov(1.0) < cov(1.2)
+
+
+def test_large_sigma_cull_margin(sphere_mesh):
+    """At soft_sigma_px=4 the pallas cull margin widens (6 sigma = 24 rows),
+    so nearest-face coverage matches the oracle even for pixels far beyond
+    the old fixed 8-row band (VERDICT r1 weakness 5)."""
+    from st3d.kernels.raster_pallas import (
+        rasterize_pallas_batched,
+        soft_cull_margin,
+    )
+
+    assert soft_cull_margin(4.0) == 24.0
+    assert soft_cull_margin(0.5) == 8.0  # floor keeps small sigmas safe
+
+    size, sigma = 64, 4.0
+    fv = face_verts_screen(
+        sphere_mesh.verts, sphere_mesh.faces, _cam(), size
+    )
+    # Shrink the projection toward the top-left corner: most of the image
+    # is now 10-50 pixels away from the silhouette, straddling the old
+    # 8-row cull band.
+    fv = fv.at[..., :2].multiply(0.35)
+    want = rasterize_batch(
+        fv, RasterizationSettings(image_size=size, backend="bruteforce",
+                                  soft=True, soft_sigma_px=sigma)
+    )
+    # face_chunk=8 forces multiple chunks in interpret mode so the row-band
+    # culling actually engages.
+    got = rasterize_pallas_batched(
+        fv, size, face_chunk=8, soft=True, soft_sigma_px=sigma
+    )
+    sd_w = signed_distance_to_faces(fv[0], want.nearest_face[0])
+    sd_g = signed_distance_to_faces(fv[0], got.nearest_face[0])
+    a_w = np.asarray(jax.nn.sigmoid(sd_w / sigma))
+    a_g = np.asarray(jax.nn.sigmoid(sd_g / sigma))
+    # Near-ties in the gated selection proxy can pick different (equally
+    # close) faces per backend; the wide sigma amplifies those to ~0.07 on
+    # scattered pixels. The margin regression instead shows up as a
+    # systematic error over the whole far band, so assert on the
+    # distribution, not the max.
+    np.testing.assert_allclose(a_g, a_w, atol=0.08)
+    # The interesting band: pixels whose true coverage is small-but-alive
+    # (0.003..0.2 ~= 10..24 px outside). The old 8-row margin culled these.
+    band = (a_w > 0.003) & (a_w < 0.2)
+    assert band.sum() > 100
+    d_new = np.abs(a_g - a_w)[band]
+    assert d_new.mean() < 3e-3
+    assert (d_new > 0.05).mean() < 0.01
+
+    # Sharpness check: the old fixed 8-row margin is measurably worse on
+    # the same band (nearest-face candidates culled -> wrong coverage).
+    from st3d.kernels.raster_pallas import _rasterize_pallas_impl
+
+    old = _rasterize_pallas_impl(
+        fv, size, 8, True, True, None, 1024, 8.0
+    )
+    sd_old = signed_distance_to_faces(fv[0], old.nearest_face[0])
+    a_old = np.asarray(jax.nn.sigmoid(sd_old / sigma))
+    d_old = np.abs(a_old - a_w)[band]
+    assert d_old.mean() > 2 * d_new.mean()
+    assert (d_old > 0.05).mean() > 0.02

@@ -114,12 +114,16 @@ def test_softras_silhouette_gradients(quad_mesh):
     np.testing.assert_allclose(-float(fd), float(g[0, 0]), rtol=0.15)
 
 
-def test_fpp_without_soft_still_raises(quad_mesh):
-    settings = RasterizationSettings(
+def test_fpp_without_soft_renders_nearest(quad_mesh):
+    """Hard faces_per_pixel>1 (PyTorch3D API surface) renders from the
+    nearest slot: identical image to the plain hard path at blur=0."""
+    k2 = RasterizationSettings(
         image_size=32, backend="bruteforce", faces_per_pixel=2
     )
-    with pytest.raises(NotImplementedError, match="soft"):
-        render_rgba(quad_mesh, _cam(), settings)
+    k1 = RasterizationSettings(image_size=32, backend="bruteforce")
+    got = render_rgba(quad_mesh, _cam(), k2)
+    want = render_rgba(quad_mesh, _cam(), k1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
 def test_topk_pallas_matches_bruteforce(sphere_mesh):
