@@ -1,9 +1,15 @@
 #!/usr/bin/env python
 """Fleet driver: every mesh x every style (BASELINE.md config 5 — "all 4
-meshes x 5 styles"). Styles batch jointly per mesh (one visibility pass, one
-VGG batch — st3d/engine/multistyle.py); meshes run sequentially (their
-texture atlases are independent problems). Combine with --data_parallel to
-shard views across chips and --size 1024 for large renders.
+meshes x 5 styles").
+
+Default mode ``batched`` runs the whole grid as ONE SPMD program: meshes
+padded to common static budgets and stacked, mesh axis folded into the
+rasterizer's view axis, all M x S x B renders through VGG as one batch
+(st3d/engine/fleetbatch.py). With --data_parallel the (mesh, style) grid
+shards over a 2D device mesh — zero per-step collectives.
+
+``--fleet_mode sequential`` keeps the per-mesh loop (multistyle engine per
+mesh) for memory-constrained runs.
 
     python fleet.py \
         --obj_paths ./objects/cow_mesh/cow.obj,./objects/bob_mesh/bob.obj \
@@ -34,10 +40,22 @@ def main(argv=None):
         "--style_paths", default="./imgs/Style_1.jpg", type=str,
         help="comma-separated style image paths",
     )
+    pre.add_argument(
+        "--fleet_mode", default="batched",
+        choices=("batched", "sequential"),
+        help="batched: one SPMD program over the mesh x style grid; "
+             "sequential: per-mesh multistyle loop",
+    )
     ns, rest = pre.parse_known_args(argv)
     cfg = parse_second_approach(rest)
     obj_paths = [p for p in ns.obj_paths.split(",") if p]
     style_paths = [p for p in ns.style_paths.split(",") if p]
+
+    if ns.fleet_mode == "batched":
+        from st3d.engine.fleetbatch import run_fleet_batched
+
+        run_fleet_batched(cfg, obj_paths, style_paths)
+        return
 
     for obj in obj_paths:
         stem = os.path.splitext(os.path.basename(obj))[0]

@@ -1,0 +1,320 @@
+"""Batched multi-mesh x multi-style optimization (BASELINE.md config 5:
+"all 4 meshes x 5 styles" in ONE run).
+
+The sequential fleet driver loops meshes; this engine runs the whole
+(mesh, style) grid as one SPMD program, TPU-first:
+
+  * meshes are padded to common static budgets (``pad_mesh``) and stacked on
+    a leading mesh axis — padding faces are degenerate and dropped by every
+    rasterizer backend's validity mask, so visibility is bit-identical to
+    the unpadded meshes;
+  * per step the mesh axis FOLDS INTO the rasterizer's view axis: one
+    kernel launch rasterizes all M x B views (the Pallas kernel is natively
+    view-batched; wrapping it in vmap is forbidden — see
+    rasterize_batch's contract);
+  * shading vmaps over mesh x style against the shared fragments, and all
+    M x S x B renders go through VGG as ONE batch (MXU-friendly);
+  * every (mesh, style) cell owns a disjoint texture atlas, so one Adam
+    update over the stacked (M, S, H, W, 3) parameter advances the whole
+    grid simultaneously — identical trajectories to M x S sequential runs.
+
+With ``cfg.data_parallel`` the grid shards over a 2D device mesh
+("mesh" x "style" axes, auto-factored to tile the device count): geometry
+and content features ride the mesh axis, Gram targets the style axis,
+textures both. Disjoint parameters -> ZERO per-step collectives; XLA only
+all-gathers the small fragment tensors where the style axis consumes them.
+
+Reference basis: the reference (first/second_approach.py) runs one
+mesh x style per process invocation; config 5's grid is 20 processes there.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Dict, List, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from st3d.core.mesh import Mesh, finalize_mesh
+from st3d.core.uv import pad_mesh
+from st3d.engine.config import PipelineConfig
+from st3d.engine.multistyle import _multi_style_content_loss
+from st3d.engine.pipelines import (
+    _batches,
+    build_cameras,
+    load_scene,
+    save_render,
+)
+from st3d.io.image import load_as_tensor
+from st3d.io.obj import load_obj, save_mesh
+from st3d.models.vgg import get_features, get_vgg
+from st3d.ops.losses import CONTENT_LAYER, STYLE_LAYERS, gram_matrix
+from st3d.render.rasterize import (
+    RasterizationSettings,
+    face_verts_screen,
+    rasterize_batch,
+)
+from st3d.render.renderer import render_meshes
+from st3d.render.shading import shade_textured
+from st3d.utils.assets import resolve_asset
+from st3d.utils.checkpoint import load_checkpoint, save_checkpoint
+from st3d.utils.logging import RunLogger
+
+
+def _pick_grid(n_dev: int, n_meshes: int, n_styles: int):
+    """Factor ``n_dev`` into (mesh_devices, style_devices) tiling the grid.
+
+    Prefers sharding the style axis (texture params and Gram targets are the
+    big per-style state) and falls back to splitting the mesh axis.
+    """
+    for ds in range(n_dev, 0, -1):
+        if n_dev % ds:
+            continue
+        dm = n_dev // ds
+        if n_styles % ds == 0 and n_meshes % dm == 0:
+            return dm, ds
+    raise ValueError(
+        f"fleet grid ({n_meshes} meshes x {n_styles} styles) cannot tile "
+        f"{n_dev} devices: need factors dm*ds={n_dev} with dm|{n_meshes}, "
+        f"ds|{n_styles}"
+    )
+
+
+def _load_fleet_meshes(cfg: PipelineConfig,
+                       obj_paths: Sequence[str]) -> List[Mesh]:
+    """Load every mesh with the same auto-UV recovery the sequential fleet
+    applies (UV-less meshes like teapot get spherical UVs instead of the
+    reference's crash at first_approach.py:88)."""
+    meshes = []
+    for obj in obj_paths:
+        sub = dataclasses.replace(cfg, obj_path=obj)
+        if sub.auto_uv == "none":
+            data = load_obj(resolve_asset(obj), load_textures=True)
+            if data.verts_uvs is None or not data.texture_images:
+                sub = dataclasses.replace(sub, auto_uv="sphere")
+        meshes.append(load_scene(sub))
+    return meshes
+
+
+def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
+                      style_paths: Sequence[str],
+                      epochs: int = None) -> Dict[str, Dict[str, Mesh]]:
+    """Optimize one texture per (mesh, style) cell, jointly.
+
+    Returns ``{mesh_stem: {style_stem: finalized Mesh}}`` and writes
+    ``output_path/<mesh>/<style>/final.obj`` (+ renders) per cell, matching
+    the sequential fleet's layout.
+    """
+    epochs = epochs if epochs is not None else cfg.epochs
+    os.makedirs(cfg.output_path, exist_ok=True)
+    mesh_names = [os.path.splitext(os.path.basename(p))[0] for p in obj_paths]
+    style_names = [os.path.splitext(os.path.basename(p))[0]
+                   for p in style_paths]
+    n_meshes, n_styles = len(obj_paths), len(style_paths)
+    if len(set(mesh_names)) != n_meshes:
+        raise ValueError(f"duplicate mesh stems in {mesh_names}")
+
+    meshes = _load_fleet_meshes(cfg, obj_paths)
+    v_pad = max(m.verts.shape[0] for m in meshes)
+    f_pad = max(m.faces.shape[0] for m in meshes)
+    t_pad = max(m.verts_uvs.shape[0] for m in meshes)
+    tex_size = max(m.texture.shape[0] for m in meshes)
+    padded = [
+        pad_mesh(m, v_pad, f_pad, num_uvs=t_pad, texture_size=tex_size)
+        for m in meshes
+    ]
+    verts = jnp.stack([m.verts for m in padded])          # (M, V, 3)
+    faces = jnp.stack([m.faces for m in padded])          # (M, F, 3)
+    verts_uvs = jnp.stack([m.verts_uvs for m in padded])  # (M, T, 2)
+    faces_uvs = jnp.stack([m.faces_uvs for m in padded])  # (M, F, 3)
+
+    settings = RasterizationSettings(
+        image_size=cfg.size, backend=cfg.raster_backend
+    )
+    vgg = get_vgg(cfg.vgg_weights)
+    cameras = build_cameras(cfg)
+    logger = RunLogger(cfg.output_path)
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    size = cfg.size
+
+    render_jit = jax.jit(lambda m, c: render_meshes(m, c, settings))
+
+    # Per-batch constants: per-mesh content features, per-style Gram targets
+    # (shared across meshes — the style image does not depend on geometry).
+    batch_const = []
+    for i, b0, b1 in _batches(cfg.n_views, cfg.batch_size):
+        bsz = b1 - b0
+        batch_cams = cameras[b0:b1]
+        cfeat = jnp.stack([
+            get_features(render_jit(m, batch_cams)[0], vgg,
+                         dtype=dtype)[CONTENT_LAYER]
+            for m in padded
+        ])  # (M, B, C, H, W)
+        styles = jnp.stack([
+            jnp.broadcast_to(
+                load_as_tensor(resolve_asset(p), size)[None],
+                (bsz, 3, size, size),
+            )
+            for p in style_paths
+        ])
+        style_feats = get_features(
+            styles.reshape(n_styles * bsz, 3, size, size), vgg, dtype=dtype
+        )
+        style_grams = {
+            l: gram_matrix(style_feats[l]).reshape(
+                n_styles, bsz, style_feats[l].shape[1],
+                style_feats[l].shape[1],
+            )
+            for l in STYLE_LAYERS
+        }
+        batch_const.append((batch_cams, cfeat, style_grams))
+
+    textures = jnp.stack([
+        jnp.broadcast_to(m.texture[None], (n_styles,) + m.texture.shape)
+        for m in padded
+    ])  # (M, S, H, W, 3)
+    params = {"textures": textures}
+    optimizer = optax.adam(cfg.lr)
+    opt_state = optimizer.init(params)
+
+    use_dp = cfg.data_parallel and len(jax.devices()) > 1
+    if use_dp:
+        from jax.sharding import Mesh as DevMesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = len(jax.devices())
+        dm, ds = _pick_grid(n_dev, n_meshes, n_styles)
+        dev_mesh = DevMesh(
+            np.asarray(jax.devices()).reshape(dm, ds), ("mesh", "style")
+        )
+        mesh_sh = NamedSharding(dev_mesh, P("mesh"))
+        grid_sh = NamedSharding(dev_mesh, P("mesh", "style"))
+        style_sh = NamedSharding(dev_mesh, P(None, "style"))
+        repl = NamedSharding(dev_mesh, P())
+
+        verts, faces = jax.device_put((verts, faces), mesh_sh)
+        verts_uvs, faces_uvs = jax.device_put((verts_uvs, faces_uvs), mesh_sh)
+        params = jax.device_put(params, grid_sh)
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x, grid_sh if hasattr(x, "ndim") and x.ndim >= 2
+                and x.shape[:2] == (n_meshes, n_styles) else repl
+            ) if hasattr(x, "ndim") else x,
+            opt_state,
+        )
+        batch_const = [
+            (
+                jax.device_put(cams_b, repl),
+                jax.device_put(cfeat, mesh_sh),
+                jax.tree_util.tree_map(
+                    lambda g: jax.device_put(
+                        g, NamedSharding(dev_mesh, P("style"))
+                    ),
+                    grams,
+                ),
+            )
+            for (cams_b, cfeat, grams) in batch_const
+        ]
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(p, st, cams_b, cfeat, style_grams):
+        def loss_fn(p):
+            fv = jax.vmap(
+                lambda v, f: face_verts_screen(v, f, cams_b, size)
+            )(verts, faces)  # (M, B, F, 3, 3)
+            m, b = fv.shape[0], fv.shape[1]
+            # Fold meshes into the view axis: ONE rasterizer launch for the
+            # whole fleet (never vmap the Pallas path — see rasterize_batch).
+            frags = rasterize_batch(
+                fv.reshape((m * b,) + fv.shape[2:]), settings
+            )
+            p2f = frags.pix_to_face.reshape((m, b) + frags.pix_to_face.shape[1:])
+
+            def shade_mesh(fv_m, p2f_m, uvs_m, fuvs_m, tex_s):
+                def shade_style(tex):
+                    return jax.vmap(
+                        lambda fvv, pp: shade_textured(
+                            fvv, pp, uvs_m, fuvs_m, tex
+                        )
+                    )(fv_m, p2f_m)
+
+                return jax.vmap(shade_style)(tex_s)  # (S, B, H, W, 4)
+
+            rgba = jax.vmap(shade_mesh)(
+                fv, p2f, verts_uvs, faces_uvs, p["textures"]
+            )  # (M, S, B, H, W, 4)
+            imgs = jnp.transpose(rgba[..., :3], (0, 1, 2, 5, 3, 4))
+            s = imgs.shape[1]
+            feats = get_features(
+                imgs.reshape(m * s * b, 3, size, size), vgg, dtype=dtype
+            )
+            feats = {
+                k: v.reshape((m, s, b) + v.shape[1:])
+                for k, v in feats.items()
+            }
+            per_grid = jax.vmap(
+                _multi_style_content_loss, in_axes=(0, 0, None, None, None)
+            )(feats, cfeat, style_grams, cfg.style_weight,
+              cfg.content_weight)  # (M, S)
+            return jnp.sum(per_grid), per_grid
+
+        (loss, per_grid), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(p)
+        updates, st = optimizer.update(grads, st, p)
+        p = optax.apply_updates(p, updates)
+        return p, st, loss, per_grid
+
+    start_epoch = 0
+    ckpt_path = os.path.join(cfg.output_path, "checkpoint.npz")
+    rng = jax.random.PRNGKey(cfg.seed)
+    if cfg.resume and os.path.isfile(ckpt_path):
+        start_epoch, params, opt_state, rng = load_checkpoint(
+            ckpt_path, params, opt_state, rng
+        )
+
+    for epoch in range(start_epoch, epochs):
+        total = 0.0
+        grid_sum = np.zeros((n_meshes, n_styles))
+        for cams_b, cfeat, grams in batch_const:
+            params, opt_state, loss, per_grid = step(
+                params, opt_state, cams_b, cfeat, grams
+            )
+            total += float(loss)
+            grid_sum += np.asarray(per_grid)
+        logger.log_epoch(
+            epoch, total,
+            per_cell={
+                f"{mn}/{sn}": float(grid_sum[mi, si])
+                for mi, mn in enumerate(mesh_names)
+                for si, sn in enumerate(style_names)
+            },
+        )
+        if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
+            save_checkpoint(ckpt_path, epoch + 1, params, opt_state, rng)
+
+    results: Dict[str, Dict[str, Mesh]] = {}
+    fixed12 = build_cameras(
+        PipelineConfig(n_views=12, randomize_views=False, seed=cfg.seed)
+    )
+    textures_out = np.asarray(params["textures"])
+    for mi, mesh_name in enumerate(mesh_names):
+        results[mesh_name] = {}
+        for si, style_name in enumerate(style_names):
+            # Final meshes carry the ORIGINAL (unpadded) geometry with the
+            # optimized texture; padding only ever existed inside the step.
+            final = finalize_mesh(
+                meshes[mi].replace(texture=jnp.asarray(textures_out[mi, si]))
+            )
+            out_dir = os.path.join(cfg.output_path, mesh_name, style_name)
+            save_render(final, fixed12, settings,
+                        os.path.join(out_dir, "final_render"))
+            save_mesh(final, os.path.join(out_dir, "final.obj"))
+            results[mesh_name][style_name] = final
+    logger.close()
+    return results
