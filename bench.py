@@ -48,7 +48,12 @@ def build_step(dtype_name: str = "bfloat16"):
     from st3d.models.vgg import get_features, get_vgg
     from st3d.ops.losses import StyleContentTargets, style_content_loss
     from st3d.render.rasterize import RasterizationSettings
-    from st3d.render.renderer import render_meshes
+    from st3d.render.renderer import (
+        compact_visibility,
+        precompute_visibility,
+        render_meshes,
+        render_meshes_static,
+    )
     from st3d.utils.assets import resolve_asset
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
@@ -64,17 +69,23 @@ def build_step(dtype_name: str = "bfloat16"):
         lambda m, c: render_meshes(m, c, settings)
     )(mesh, cams)
     targets = StyleContentTargets.create(
-        content_imgs, style_b, vgg, dtype=dtype
+        content_imgs, style_b, vgg, dtype=dtype, layout="NHWC"
     )
 
     params, optimizer, opt_state = setup_optimizations("texture", mesh, 0.01)
 
+    # Texture-only target: visibility is constant, hoisted out of the loop
+    # (same fast path the pipelines use).
+    vis = compact_visibility(jax.jit(
+        lambda m, c: precompute_visibility(m, c, settings)
+    )(mesh, cams))
+
     def loss_fn(p):
-        cur_imgs, _ = render_meshes(
-            apply_params(mesh, p), cams, settings
+        cur_imgs, _ = render_meshes_static(
+            apply_params(mesh, p), vis, settings
         )
-        feats = get_features(cur_imgs, vgg, dtype=dtype)
-        return style_content_loss(feats, targets, 1e6, 1.0)
+        feats = get_features(cur_imgs, vgg, dtype=dtype, layout="NHWC")
+        return style_content_loss(feats, targets, 1e6, 1.0, layout="NHWC")
 
     n_per_call = 25
 

@@ -53,14 +53,14 @@ from st3d.engine.pipelines import (
 from st3d.io.image import load_as_tensor
 from st3d.io.obj import load_obj, save_mesh
 from st3d.models.vgg import get_features, get_vgg
-from st3d.ops.losses import CONTENT_LAYER, STYLE_LAYERS, gram_matrix
+from st3d.ops.losses import CONTENT_LAYER, STYLE_LAYERS, gram_matrix_nhwc
 from st3d.render.rasterize import (
     RasterizationSettings,
     face_verts_screen,
     rasterize_batch,
 )
-from st3d.render.renderer import render_meshes
-from st3d.render.shading import shade_textured
+from st3d.render.renderer import compact_visibility, render_meshes
+from st3d.render.shading import pixel_uvs, shade_compact
 from st3d.utils.assets import resolve_asset
 from st3d.utils.checkpoint import load_checkpoint, save_checkpoint
 from st3d.utils.logging import RunLogger
@@ -144,6 +144,29 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
 
     render_jit = jax.jit(lambda m, c: render_meshes(m, c, settings))
 
+    # Textures are the only trainable leaves, so visibility is a per-batch
+    # constant (renderer.precompute_visibility rationale): project + fold
+    # meshes into the view axis, ONE rasterizer launch per camera batch,
+    # done once at setup.
+    @jax.jit
+    def fleet_visibility(batch_cams):
+        fv = jax.vmap(
+            lambda v, f: face_verts_screen(v, f, batch_cams, size)
+        )(verts, faces)  # (M, B, F, 3, 3)
+        m, b = fv.shape[0], fv.shape[1]
+        frags = rasterize_batch(fv.reshape((m * b,) + fv.shape[2:]), settings)
+        p2f = frags.pix_to_face.reshape(
+            (m, b) + frags.pix_to_face.shape[1:]
+        )
+        # Hard mode + textures-only: per-pixel UVs and coverage are ALSO
+        # constants — the step shades via shading.shade_from_uvs only.
+        uv, mask = jax.vmap(
+            lambda fv_m, p2f_m, uvs_m, fuvs_m: jax.vmap(
+                lambda fvv, pp: pixel_uvs(fvv, pp, uvs_m, fuvs_m)
+            )(fv_m, p2f_m)
+        )(fv, p2f, verts_uvs, faces_uvs)
+        return {"uv": jax.lax.stop_gradient(uv), "mask": mask}
+
     # Per-batch constants: per-mesh content features, per-style Gram targets
     # (shared across meshes — the style image does not depend on geometry).
     batch_const = []
@@ -152,7 +175,7 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
         batch_cams = cameras[b0:b1]
         cfeat = jnp.stack([
             get_features(render_jit(m, batch_cams)[0], vgg,
-                         dtype=dtype)[CONTENT_LAYER]
+                         dtype=dtype, layout="NHWC")[CONTENT_LAYER]
             for m in padded
         ])  # (M, B, C, H, W)
         styles = jnp.stack([
@@ -163,16 +186,17 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
             for p in style_paths
         ])
         style_feats = get_features(
-            styles.reshape(n_styles * bsz, 3, size, size), vgg, dtype=dtype
+            styles.reshape(n_styles * bsz, 3, size, size), vgg,
+            dtype=dtype, layout="NHWC",
         )
-        style_grams = {
-            l: gram_matrix(style_feats[l]).reshape(
-                n_styles, bsz, style_feats[l].shape[1],
-                style_feats[l].shape[1],
-            )
-            for l in STYLE_LAYERS
-        }
-        batch_const.append((batch_cams, cfeat, style_grams))
+        style_grams = {}
+        for l in STYLE_LAYERS:
+            g = gram_matrix_nhwc(style_feats[l])
+            style_grams[l] = g.reshape(n_styles, bsz, g.shape[-1], g.shape[-1])
+        batch_const.append(
+            (compact_visibility(fleet_visibility(batch_cams)),
+             cfeat, style_grams)
+        )
 
     textures = jnp.stack([
         jnp.broadcast_to(m.texture[None], (n_styles,) + m.texture.shape)
@@ -209,7 +233,7 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
         )
         batch_const = [
             (
-                jax.device_put(cams_b, repl),
+                jax.device_put(vis, mesh_sh),
                 jax.device_put(cfeat, mesh_sh),
                 jax.tree_util.tree_map(
                     lambda g: jax.device_put(
@@ -218,40 +242,27 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
                     grams,
                 ),
             )
-            for (cams_b, cfeat, grams) in batch_const
+            for (vis, cfeat, grams) in batch_const
         ]
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(p, st, cams_b, cfeat, style_grams):
+    def step(p, st, vis, cfeat, style_grams):
         def loss_fn(p):
-            fv = jax.vmap(
-                lambda v, f: face_verts_screen(v, f, cams_b, size)
-            )(verts, faces)  # (M, B, F, 3, 3)
-            m, b = fv.shape[0], fv.shape[1]
-            # Fold meshes into the view axis: ONE rasterizer launch for the
-            # whole fleet (never vmap the Pallas path — see rasterize_batch).
-            frags = rasterize_batch(
-                fv.reshape((m * b,) + fv.shape[2:]), settings
-            )
-            p2f = frags.pix_to_face.reshape((m, b) + frags.pix_to_face.shape[1:])
+            m, b = vis["mask"].shape[0], vis["mask"].shape[1]
 
-            def shade_mesh(fv_m, p2f_m, uvs_m, fuvs_m, tex_s):
-                def shade_style(tex):
-                    return jax.vmap(
-                        lambda fvv, pp: shade_textured(
-                            fvv, pp, uvs_m, fuvs_m, tex
-                        )
-                    )(fv_m, p2f_m)
-
-                return jax.vmap(shade_style)(tex_s)  # (S, B, H, W, 4)
+            def shade_mesh(idx_m, uvc_m, mask_m, tex_s):
+                return jax.vmap(
+                    lambda tex: shade_compact(tex, idx_m, uvc_m, mask_m)
+                )(tex_s)  # (S, B, H, W, 4)
 
             rgba = jax.vmap(shade_mesh)(
-                fv, p2f, verts_uvs, faces_uvs, p["textures"]
+                vis["cov_idx"], vis["uv_cov"], vis["mask"], p["textures"]
             )  # (M, S, B, H, W, 4)
             imgs = jnp.transpose(rgba[..., :3], (0, 1, 2, 5, 3, 4))
             s = imgs.shape[1]
             feats = get_features(
-                imgs.reshape(m * s * b, 3, size, size), vgg, dtype=dtype
+                imgs.reshape(m * s * b, 3, size, size), vgg, dtype=dtype,
+                layout="NHWC",
             )
             feats = {
                 k: v.reshape((m, s, b) + v.shape[1:])
@@ -281,9 +292,9 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
     for epoch in range(start_epoch, epochs):
         total = 0.0
         grid_sum = np.zeros((n_meshes, n_styles))
-        for cams_b, cfeat, grams in batch_const:
+        for vis, cfeat, grams in batch_const:
             params, opt_state, loss, per_grid = step(
-                params, opt_state, cams_b, cfeat, grams
+                params, opt_state, vis, cfeat, grams
             )
             total += float(loss)
             grid_sum += np.asarray(per_grid)

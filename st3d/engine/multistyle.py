@@ -49,12 +49,16 @@ from st3d.models.vgg import get_features, get_vgg
 from st3d.ops.losses import (
     CONTENT_LAYER,
     STYLE_LAYERS,
-    gram_matrix,
+    gram_matrix_nhwc,
     mse_loss,
 )
-from st3d.render.rasterize import RasterizationSettings, face_verts_screen, rasterize_batch
-from st3d.render.renderer import render_meshes
-from st3d.render.shading import shade_textured
+from st3d.render.rasterize import RasterizationSettings
+from st3d.render.renderer import (
+    compact_visibility,
+    precompute_visibility,
+    render_meshes,
+)
+from st3d.render.shading import shade_compact
 from st3d.utils.assets import resolve_asset
 from st3d.utils.checkpoint import load_checkpoint, save_checkpoint
 from st3d.utils.logging import RunLogger
@@ -64,16 +68,22 @@ def _multi_style_content_loss(feats, content_features, style_grams,
                               style_weight, content_weight):
     """Per-style reference loss on features carrying a leading style axis.
 
-    feats: {layer: (S, B, C, H, W)}; content_features (B, C, H, W) shared;
-    style_grams {layer: (S, B, C, C)}. Returns (S,) per-style losses.
+    feats: {layer: (S, B, H, W, C)} NHWC taps in the compute dtype (the TPU
+    hot-loop layout — Grams run on the MXU's bf16 path with f32
+    accumulation); content_features (B, H, W, C) shared; style_grams
+    {layer: (S, B, C, C)}. Returns (S,) per-style losses.
     """
+    cf32 = content_features.astype(jnp.float32)
+
     def one_style(feats_s, grams_s):
-        content_loss = mse_loss(feats_s[CONTENT_LAYER], content_features)
+        content_loss = mse_loss(
+            feats_s[CONTENT_LAYER].astype(jnp.float32), cf32
+        )
         style_loss = 0.0
         for layer in STYLE_LAYERS:
             f = feats_s[layer]
-            c, h = f.shape[1], f.shape[2]
-            g = gram_matrix(f)
+            c, h = f.shape[3], f.shape[1]
+            g = gram_matrix_nhwc(f)
             style_loss = style_loss + jnp.mean(
                 (g - grams_s[layer]) ** 2
             ) / (float(c) ** 2 * float(h) ** 2)  # float: int32 overflow at 768**2
@@ -104,17 +114,21 @@ def run_multistyle(cfg: PipelineConfig, style_paths: Sequence[str],
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     render_jit = jax.jit(lambda m, c: render_meshes(m, c, settings))
+    # Geometry is never optimized here, so the visibility pass is a
+    # per-batch constant (see renderer.precompute_visibility): the per-step
+    # work is texture sampling + VGG only.
+    vis_jit = jax.jit(lambda m, c: precompute_visibility(m, c, settings))
 
     # Per-batch constants: content renders + features (shared), per-style
-    # Gram targets.
+    # Gram targets, precomputed visibility.
     batch_const = []
     for i, b0, b1 in _batches(cfg.n_views, cfg.batch_size):
         bsz = b1 - b0
         batch_cams = cameras[b0:b1]
         content_imgs, _ = render_jit(mesh, batch_cams)
-        content_features = get_features(content_imgs, vgg, dtype=dtype)[
-            CONTENT_LAYER
-        ]
+        content_features = get_features(
+            content_imgs, vgg, dtype=dtype, layout="NHWC"
+        )[CONTENT_LAYER]
         styles = jnp.stack([
             jnp.broadcast_to(
                 load_as_tensor(resolve_asset(p), cfg.size)[None],
@@ -124,16 +138,18 @@ def run_multistyle(cfg: PipelineConfig, style_paths: Sequence[str],
         ])  # (S, B, 3, H, W)
         style_feats = get_features(
             styles.reshape(n_styles * bsz, 3, cfg.size, cfg.size),
-            vgg, dtype=dtype,
+            vgg, dtype=dtype, layout="NHWC",
         )
-        style_grams = {
-            l: gram_matrix(style_feats[l]).reshape(
-                n_styles, bsz, style_feats[l].shape[1],
-                style_feats[l].shape[1],
+        style_grams = {}
+        for l in STYLE_LAYERS:
+            g = gram_matrix_nhwc(style_feats[l])
+            style_grams[l] = g.reshape(
+                n_styles, bsz, g.shape[-1], g.shape[-1]
             )
-            for l in STYLE_LAYERS
-        }
-        batch_const.append((batch_cams, content_features, style_grams))
+        batch_const.append(
+            (compact_visibility(vis_jit(mesh, batch_cams)),
+             content_features, style_grams)
+        )
 
     textures = jnp.broadcast_to(
         mesh.texture[None], (n_styles,) + mesh.texture.shape
@@ -168,33 +184,28 @@ def run_multistyle(cfg: PipelineConfig, style_paths: Sequence[str],
         )
         batch_const = [
             (
-                jax.device_put(cams_b, repl),
+                jax.device_put(vis, repl),
                 jax.device_put(cfeat, repl),
                 jax.device_put(grams, style_sh),
             )
-            for (cams_b, cfeat, grams) in batch_const
+            for (vis, cfeat, grams) in batch_const
         ]
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(p, st, cams_b, content_features, style_grams):
+    def step(p, st, vis, content_features, style_grams):
         def loss_fn(p):
-            fv = face_verts_screen(
-                mesh.verts, mesh.faces, cams_b, cfg.size
-            )
-            frags = rasterize_batch(fv, settings)  # visibility ONCE
-
-            def shade_style(tex):
-                return jax.vmap(
-                    lambda fvv, p2f: shade_textured(
-                        fvv, p2f, mesh.verts_uvs, mesh.faces_uvs, tex
-                    )
-                )(fv, frags.pix_to_face)
-
-            rgba = jax.vmap(shade_style)(p["textures"])  # (S, B, H, W, 4)
+            # Visibility AND per-pixel UVs precomputed (hard mode): every
+            # style's shading is one texel gather + lerp per pixel.
+            rgba = jax.vmap(
+                lambda tex: shade_compact(
+                    tex, vis["cov_idx"], vis["uv_cov"], vis["mask"]
+                )
+            )(p["textures"])  # (S, B, H, W, 4)
             imgs = jnp.transpose(rgba[..., :3], (0, 1, 4, 2, 3))
             s, b = imgs.shape[0], imgs.shape[1]
             feats = get_features(
-                imgs.reshape(s * b, 3, cfg.size, cfg.size), vgg, dtype=dtype
+                imgs.reshape(s * b, 3, cfg.size, cfg.size), vgg,
+                dtype=dtype, layout="NHWC",
             )
             feats = {
                 k: v.reshape((s, b) + v.shape[1:]) for k, v in feats.items()
@@ -223,9 +234,9 @@ def run_multistyle(cfg: PipelineConfig, style_paths: Sequence[str],
     for epoch in range(start_epoch, epochs):
         total = 0.0
         per_style_sum = np.zeros(len(style_names))
-        for cams_b, cfeat, grams in batch_const:
+        for vis, cfeat, grams in batch_const:
             params, opt_state, loss, per_style = step(
-                params, opt_state, cams_b, cfeat, grams
+                params, opt_state, vis, cfeat, grams
             )
             total += float(loss)
             per_style_sum += np.asarray(per_style)

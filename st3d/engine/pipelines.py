@@ -54,7 +54,12 @@ from st3d.ops.losses import (
     style_content_loss,
 )
 from st3d.render.rasterize import RasterizationSettings
-from st3d.render.renderer import render_meshes
+from st3d.render.renderer import (
+    compact_visibility,
+    precompute_visibility,
+    render_meshes,
+    render_meshes_static,
+)
 from st3d.utils.assets import resolve_asset
 from st3d.utils.checkpoint import load_checkpoint, save_checkpoint
 from st3d.utils.logging import RunLogger
@@ -145,9 +150,17 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
 
     render_jit = jax.jit(lambda m, c: render_meshes(m, c, settings))
 
-    def mse_loss_fn(p, cams_b, target_imgs):
+    # Texture-only MSE phase: visibility is a per-batch constant (see the
+    # second approach's static_vis note).
+    static_vis = cfg.optimization_target == "texture"
+    vis_jit = jax.jit(lambda m, c: precompute_visibility(m, c, settings))
+
+    def mse_loss_fn(p, cams_b, target_imgs, vis):
         mesh = apply_params(content_mesh, p)
-        imgs, masks = render_meshes(mesh, cams_b, settings)
+        if vis is not None:
+            imgs, masks = render_meshes_static(mesh, vis, settings)
+        else:
+            imgs, masks = render_meshes(mesh, cams_b, settings)
         verts = p.get("verts", content_mesh.verts)
         return compute_first_approach_loss(
             imgs, masks, target_imgs, verts, content_mesh.verts, mesh,
@@ -156,10 +169,12 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
 
     @functools.partial(jax.jit, static_argnames=("n_steps",),
                        donate_argnums=(0, 1))
-    def mse_steps(p, st, cams_b, target_imgs, n_steps: int):
+    def mse_steps(p, st, cams_b, target_imgs, vis, n_steps: int):
         def one(carry, _):
             p, st = carry
-            loss, grads = jax.value_and_grad(mse_loss_fn)(p, cams_b, target_imgs)
+            loss, grads = jax.value_and_grad(mse_loss_fn)(
+                p, cams_b, target_imgs, vis
+            )
             updates, st = optimizer.update(grads, st, p)
             p = optax.apply_updates(p, updates)
             return (p, st), loss
@@ -191,10 +206,13 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
                     "(adjust --n_views/--batch_size)"
                 )
 
-        def dp_mse_loss(p, cam_R, cam_T, target_imgs):
+        def dp_mse_loss(p, cam_R, cam_T, target_imgs, vis):
             local_cams = FoVPerspectiveCameras.create(R=cam_R, T=cam_T)
             mesh = apply_params(content_mesh, p)
-            imgs, masks = render_meshes(mesh, local_cams, settings)
+            if vis is not None:
+                imgs, masks = render_meshes_static(mesh, vis, settings)
+            else:
+                imgs, masks = render_meshes(mesh, local_cams, settings)
             verts = p.get("verts", content_mesh.verts)
             return compute_first_approach_loss(
                 imgs, masks, target_imgs, verts, content_mesh.verts, mesh,
@@ -231,6 +249,8 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
         print(f"\nBatch {i}")
         batch_cams = cameras[b0:b1]
         style_b = _load_style(cfg, bsz)
+        vis = (compact_visibility(vis_jit(content_mesh, batch_cams))
+               if static_vis else None)
 
         if i == start_batch and resume_applied is not None:
             applied, done = resume_applied, resume_done
@@ -284,8 +304,8 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
         # Chunks never cross a checkpoint_every boundary, so mid-batch
         # checkpoints fire for ANY checkpoint_every value.
         if use_dp:
-            camR_s, camT_s, applied_s = shard_views(
-                (batch_cams.R, batch_cams.T, applied), dev_mesh
+            camR_s, camT_s, applied_s, vis_s = shard_views(
+                (batch_cams.R, batch_cams.T, applied, vis), dev_mesh
             )
         while done < cfg.n_mse_steps:
             n = min(25, cfg.n_mse_steps - done)
@@ -295,12 +315,12 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
             if use_dp:
                 for k in range(n):
                     params, opt_state, loss = dp_mse_step(
-                        params, opt_state, camR_s, camT_s, applied_s
+                        params, opt_state, camR_s, camT_s, applied_s, vis_s
                     )
                     logger.log_step(i, done + k, float(loss))
             else:
                 params, opt_state, losses = mse_steps(
-                    params, opt_state, batch_cams, applied, n
+                    params, opt_state, batch_cams, applied, vis, n
                 )
                 for k, lv in enumerate(np.asarray(losses)):
                     logger.log_step(i, done + k, float(lv))
@@ -351,6 +371,13 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
 
     render_jit = jax.jit(lambda m, c: render_meshes(m, c, settings))
 
+    # Texture-only optimization never moves the geometry, so the discrete
+    # visibility pass is a per-batch CONSTANT — hoist it with the targets
+    # and run only the shading epilogue + VGG per step (the reference
+    # re-rasterizes every step, second_approach.py:156).
+    static_vis = cfg.optimization_target == "texture"
+    vis_jit = jax.jit(lambda m, c: precompute_visibility(m, c, settings))
+
     # Per-batch constants, hoisted out of the epoch loop (the reference
     # re-renders content and re-extracts style/content features every step;
     # SURVEY.md §3.2 redundancies). With a 'noise' content background the
@@ -367,15 +394,17 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
                 content_imgs, content_masks, cfg.content_background, style_b
             )
             targets = StyleContentTargets.create(
-                content_b, style_b, vgg, dtype=dtype
+                content_b, style_b, vgg, dtype=dtype, layout="NHWC"
             )
         else:
             # Content features recomputed in-step; precompute style Grams.
             targets = StyleContentTargets.create(
-                content_imgs, style_b, vgg, dtype=dtype
+                content_imgs, style_b, vgg, dtype=dtype, layout="NHWC"
             )
+        vis = (compact_visibility(vis_jit(content_mesh, batch_cams))
+               if static_vis else None)
         batch_const.append(
-            (batch_cams, style_b, content_imgs, content_masks, targets)
+            (batch_cams, style_b, content_imgs, content_masks, targets, vis)
         )
 
     content_noise = cfg.content_background == "noise"
@@ -402,14 +431,22 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
                     "(adjust --n_views/--batch_size)"
                 )
 
-        def dp_loss_fn(p, cam_R, cam_T, style_b, cimgs, cmasks, tgt, seeds):
+        def dp_loss_fn(p, cam_R, cam_T, style_b, cimgs, cmasks, tgt, vis,
+                       seeds):
             # One shard of views per device; rig cameras use default
             # intrinsics so R/T fully determine them.
             local_cams = FoVPerspectiveCameras.create(R=cam_R, T=cam_T)
             r1 = jax.random.PRNGKey(seeds[0])
             r2 = jax.random.fold_in(r1, 1)
             mesh2 = apply_params(content_mesh, p)
-            cur_imgs, cur_masks = render_meshes(mesh2, local_cams, settings)
+            if vis is not None:
+                cur_imgs, cur_masks = render_meshes_static(
+                    mesh2, vis, settings
+                )
+            else:
+                cur_imgs, cur_masks = render_meshes(
+                    mesh2, local_cams, settings
+                )
             cur = apply_background(
                 cur_imgs, cur_masks, cfg.current_background, style_b, r1
             )
@@ -417,11 +454,14 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
                 content_b = apply_background(
                     cimgs, cmasks, "noise", style_b, r2
                 )
-                cf = get_features(content_b, vgg, dtype=dtype)[CONTENT_LAYER]
+                cf = get_features(
+                    content_b, vgg, dtype=dtype, layout="NHWC"
+                )[CONTENT_LAYER]
                 tgt = tgt.replace(content_features=cf)
-            cur_feats = get_features(cur, vgg, dtype=dtype)
+            cur_feats = get_features(cur, vgg, dtype=dtype, layout="NHWC")
             main = style_content_loss(
-                cur_feats, tgt, cfg.style_weight, cfg.content_weight
+                cur_feats, tgt, cfg.style_weight, cfg.content_weight,
+                layout="NHWC",
             )
             if cfg.optimization_target == "texture":
                 loss = main
@@ -440,12 +480,17 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
         )
 
     def _epoch_step_impl(p, st, rng, cams_b, style_b, content_imgs,
-                         content_masks, targets):
+                         content_masks, targets, vis):
         rng, r1, r2 = jax.random.split(rng, 3)
 
         def loss_fn(p):
             mesh = apply_params(content_mesh, p)
-            cur_imgs, cur_masks = render_meshes(mesh, cams_b, settings)
+            if vis is not None:
+                cur_imgs, cur_masks = render_meshes_static(
+                    mesh, vis, settings
+                )
+            else:
+                cur_imgs, cur_masks = render_meshes(mesh, cams_b, settings)
             cur = apply_background(
                 cur_imgs, cur_masks, cfg.current_background, style_b, r1
             )
@@ -454,11 +499,14 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
                 content_b = apply_background(
                     content_imgs, content_masks, "noise", style_b, r2
                 )
-                cf = get_features(content_b, vgg, dtype=dtype)[CONTENT_LAYER]
+                cf = get_features(
+                    content_b, vgg, dtype=dtype, layout="NHWC"
+                )[CONTENT_LAYER]
                 tg = targets.replace(content_features=cf)
-            cur_feats = get_features(cur, vgg, dtype=dtype)
+            cur_feats = get_features(cur, vgg, dtype=dtype, layout="NHWC")
             main = style_content_loss(
-                cur_feats, tg, cfg.style_weight, cfg.content_weight
+                cur_feats, tg, cfg.style_weight, cfg.content_weight,
+                layout="NHWC",
             )
             if cfg.optimization_target == "texture":
                 loss = main
@@ -498,11 +546,11 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
         @functools.partial(jax.jit, static_argnames=("n",),
                            donate_argnums=(0, 1))
         def epoch_chunk(p, st, rng, cams_b, style_b, cimg, cmask, targets,
-                        n: int):
+                        vis, n: int):
             def one(carry, _):
                 p, st, rng = carry
                 p, st, rng, loss, _cur = _epoch_step_impl(
-                    p, st, rng, cams_b, style_b, cimg, cmask, targets
+                    p, st, rng, cams_b, style_b, cimg, cmask, targets, vis
                 )
                 return (p, st, rng), loss
 
@@ -524,8 +572,8 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
         opt_state = replicate(opt_state, dev_mesh)
         batch_const = [
             tuple(shard_views(x, dev_mesh) for x in (
-                cams_b.R, cams_b.T, style_b, cimg, cmask, targets))
-            for (cams_b, style_b, cimg, cmask, targets) in batch_const
+                cams_b.R, cams_b.T, style_b, cimg, cmask, targets, vis))
+            for (cams_b, style_b, cimg, cmask, targets, vis) in batch_const
         ]
         # On resume, continue the per-step noise-RNG seed sequence where the
         # crashed run left off (the non-dp path checkpoints its rng key; the
@@ -533,7 +581,7 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
         step_counter = start_epoch * len(batch_const)
 
     if use_chunked:
-        (cams_b, style_b, cimg, cmask, targets) = batch_const[0]
+        (cams_b, style_b, cimg, cmask, targets, vis) = batch_const[0]
         epoch = start_epoch
         while epoch < cfg.epochs:
             n = min(50, cfg.epochs - epoch)
@@ -542,7 +590,7 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
                         - (epoch % cfg.checkpoint_every) or n)
             params, opt_state, rng, losses = epoch_chunk(
                 params, opt_state, rng, cams_b, style_b, cimg, cmask,
-                targets, n,
+                targets, vis, n,
             )
             for j, lv in enumerate(np.asarray(losses)):
                 logger.log_epoch(epoch + j, float(lv))
@@ -557,7 +605,7 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
         total_loss = 0.0
         for bi, const in enumerate(batch_const):
             if use_dp:
-                (cam_R, cam_T, style_b, cimg, cmask, targets) = const
+                (cam_R, cam_T, style_b, cimg, cmask, targets, vis) = const
                 seeds = jnp.asarray(
                     cfg.seed + step_counter * 131071
                     + jnp.arange(cam_R.shape[0]), jnp.uint32
@@ -566,14 +614,14 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
 
                 params, opt_state, loss, cur = dp_step(
                     params, opt_state, cam_R, cam_T, style_b, cimg, cmask,
-                    targets, _sv(seeds, dev_mesh),
+                    targets, vis, _sv(seeds, dev_mesh),
                 )
                 step_counter += 1
             else:
-                (cams_b, style_b, cimg, cmask, targets) = const
+                (cams_b, style_b, cimg, cmask, targets, vis) = const
                 params, opt_state, rng, loss, cur = epoch_step(
                     params, opt_state, rng, cams_b, style_b, cimg, cmask,
-                    targets,
+                    targets, vis,
                 )
             total_loss += float(loss)
             if cfg.save_intermediate:

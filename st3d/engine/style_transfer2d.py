@@ -33,8 +33,10 @@ def _scan_steps(imgs, opt_state, targets, model, style_weight,
     opt = optax.adam(lr)
 
     def loss_fn(x):
-        feats = get_features(x, model, dtype=dtype)
-        return style_content_loss(feats, targets, style_weight, content_weight)
+        feats = get_features(x, model, dtype=dtype, layout="NHWC")
+        return style_content_loss(
+            feats, targets, style_weight, content_weight, layout="NHWC"
+        )
 
     def step(carry, _):
         x, st = carry
@@ -71,7 +73,7 @@ def style_transfer(
         == style_imgs.shape[0]
     )
     targets = StyleContentTargets.create(
-        content_imgs, style_imgs, model, dtype=dtype
+        content_imgs, style_imgs, model, dtype=dtype, layout="NHWC"
     )
 
     # Copy (reference clone().detach(), style_transfer.py:54): the scan

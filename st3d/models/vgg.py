@@ -162,6 +162,7 @@ def get_features(
     model: VGG19,
     layers: Optional[Dict[str, str]] = None,
     dtype: jnp.dtype = jnp.float32,
+    layout: str = "NCHW",
 ) -> Dict[str, jnp.ndarray]:
     """Tap dict for a batch of images, mirroring the reference
     ``get_features(image, model)`` (style_transfer.py:10-27).
@@ -171,6 +172,11 @@ def get_features(
 
     ``layers`` accepts the reference's {torchvision_index: name} dict for API
     parity; names are what matters here.
+
+    ``layout="NHWC"`` is the TPU hot-loop mode: taps come back (B, H', W', C)
+    in the COMPUTE dtype, skipping the NCHW transpose + f32 materialization
+    (a pure relayout — the f32 cast adds no information to a bf16 conv
+    output, and the Gram/MSE consumers accumulate in f32 regardless).
     """
     wanted = set(TAP_CONV_INDEX)
     if layers is not None:
@@ -199,9 +205,12 @@ def get_features(
             preferred_element_type=dtype,
         ) + b
         if conv_i in name_by_conv and name_by_conv[conv_i] in wanted:
-            feats[name_by_conv[conv_i]] = jnp.transpose(
-                x, (0, 3, 1, 2)
-            ).astype(jnp.float32)
+            if layout == "NHWC":
+                feats[name_by_conv[conv_i]] = x
+            else:
+                feats[name_by_conv[conv_i]] = jnp.transpose(
+                    x, (0, 3, 1, 2)
+                ).astype(jnp.float32)
         if conv_i >= LAST_TAP_CONV:
             break
         x = jnp.maximum(x, 0.0)  # ReLU between convs (pre-ReLU taps above)

@@ -42,6 +42,22 @@ def gram_matrix(tensor: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("bcn,bdn->bcd", flat, flat)
 
 
+def gram_matrix_nhwc(tensor: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) taps (any dtype) -> (B, C, C) float32 Grams.
+
+    Same matrix as ``gram_matrix`` on the transposed input, but fed to the
+    MXU in the tap's native (bf16) dtype with f32 ACCUMULATION
+    (preferred_element_type) — the full-rate MXU mode — instead of casting
+    the tap to f32 first and running a quarter-rate f32 matmul.
+    """
+    b = tensor.shape[0]
+    c = tensor.shape[3]
+    flat = tensor.reshape(b, -1, c)
+    return jnp.einsum(
+        "bnc,bnd->bcd", flat, flat, preferred_element_type=jnp.float32
+    )
+
+
 def mse_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """torch.nn.functional.mse_loss (mean reduction)."""
     return jnp.mean((a - b) ** 2)
@@ -59,12 +75,23 @@ class StyleContentTargets:
 
     @classmethod
     def create(cls, content_imgs, style_imgs, model: VGG19,
-               dtype=jnp.float32) -> "StyleContentTargets":
-        content_features = get_features(content_imgs, model, dtype=dtype)[
-            CONTENT_LAYER
-        ]
-        style_features = get_features(style_imgs, model, dtype=dtype)
-        grams = {l: gram_matrix(style_features[l]) for l in STYLE_LAYERS}
+               dtype=jnp.float32, layout: str = "NCHW"
+               ) -> "StyleContentTargets":
+        """``layout="NHWC"`` builds targets for the TPU hot-loop layout:
+        content features stay NHWC (in the compute dtype) and Grams are
+        computed on the MXU's native bf16 path — same matrices, full rate."""
+        content_features = get_features(
+            content_imgs, model, dtype=dtype, layout=layout
+        )[CONTENT_LAYER]
+        style_features = get_features(
+            style_imgs, model, dtype=dtype, layout=layout
+        )
+        if layout == "NHWC":
+            grams = {
+                l: gram_matrix_nhwc(style_features[l]) for l in STYLE_LAYERS
+            }
+        else:
+            grams = {l: gram_matrix(style_features[l]) for l in STYLE_LAYERS}
         shapes = {l: tuple(style_features[l].shape) for l in STYLE_LAYERS}
         return cls(
             content_features=content_features,
@@ -78,17 +105,30 @@ def style_content_loss(
     targets: StyleContentTargets,
     style_weight: float = 1e6,
     content_weight: float = 1.0,
+    layout: str = "NCHW",
 ) -> jnp.ndarray:
     """Total = content_weight * Lc + style_weight * Ls, with the reference's
-    exact formulas (style_transfer.py:65-76)."""
-    content_loss = mse_loss(
-        current_features[CONTENT_LAYER], targets.content_features
-    )
+    exact formulas (style_transfer.py:65-76).
+
+    ``layout`` must match the layout the features (and targets) were
+    extracted with. NHWC changes only which axes carry C and H — the loss
+    value is identical (MSE is over all elements; Grams are layout-free).
+    """
+    # MSE always in f32: NHWC-mode taps arrive bf16 and the squared
+    # difference of close values would lose its low bits in bf16 (the
+    # per-element casts are exact).
+    cur = current_features[CONTENT_LAYER].astype(jnp.float32)
+    tgt = targets.content_features.astype(jnp.float32)
+    content_loss = mse_loss(cur, tgt)
     style_loss = 0.0
     for layer in STYLE_LAYERS:
         feat = current_features[layer]
-        c, h = feat.shape[1], feat.shape[2]
-        g = gram_matrix(feat)
+        if layout == "NHWC":
+            c, h = feat.shape[3], feat.shape[1]
+            g = gram_matrix_nhwc(feat)
+        else:
+            c, h = feat.shape[1], feat.shape[2]
+            g = gram_matrix(feat)
         layer_loss = jnp.mean((g - targets.style_grams[layer]) ** 2)
         # Divisor as float: c**2 * h**2 overflows int32 already at the
         # reference's default 768**2 size (64**2 * 768**2 = 2.4e9).

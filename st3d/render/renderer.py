@@ -87,3 +87,154 @@ def render_meshes(
     masks = (rgba[..., 3:4] > 0).astype(images.dtype)
     masks = jnp.transpose(masks, (0, 3, 1, 2))
     return images, masks
+
+
+# ---------------------------------------------------------------------------
+# Static-visibility fast path (texture-only optimization)
+# ---------------------------------------------------------------------------
+#
+# Every rasterizer output is discrete and depends only on geometry + cameras
+# (the contract in st3d/render/rasterize.py: kernels emit pix_to_face /
+# nearest_face / zbuf under stop_gradient; all differentiable math lives in
+# the shading epilogue). So when the vertex positions are NOT trainable —
+# the reference's default optimization_target='texture' in both approaches —
+# the whole visibility pass is a per-camera-batch CONSTANT and belongs
+# outside the hot loop: the per-step work reduces to texture sampling + VGG.
+# The reference re-rasterizes every step (renderer call inside the loss,
+# second_approach.py:156); hoisting is exact, not an approximation.
+
+def precompute_visibility(
+    mesh: Mesh,
+    cameras: FoVPerspectiveCameras,
+    settings: RasterizationSettings,
+):
+    """Visibility constants for ``render_rgba_static``: a pytree of discrete
+    fragment tensors with a leading view axis (shardable along it)."""
+    fv = jax.lax.stop_gradient(face_verts_screen(
+        mesh.verts, mesh.faces, cameras, settings.image_size
+    ))
+    if settings.soft and settings.faces_per_pixel > 1:
+        from st3d.render.topk import rasterize_topk
+
+        kfrags = jax.vmap(lambda fvv: rasterize_topk(fvv, settings))(fv)
+        return {"fv": fv, "p2f_k": kfrags.pix_to_face}
+    frags = rasterize_batch(fv, settings)
+    vis = {"fv": fv, "p2f": frags.pix_to_face}
+    if settings.soft:
+        vis["near"] = frags.nearest_face
+    else:
+        # Hard mode: the barycentric/UV interpolation is geometry-only, so
+        # the per-pixel texture coordinates and coverage are ALSO constants
+        # — the per-step epilogue collapses to one texel gather + lerp per
+        # pixel (shading.shade_from_uvs).
+        from st3d.render.shading import pixel_uvs
+
+        uv, mask = jax.vmap(
+            lambda fvv, p2f: pixel_uvs(
+                fvv, p2f, mesh.verts_uvs, mesh.faces_uvs
+            )
+        )(fv, frags.pix_to_face)
+        vis["uv"] = jax.lax.stop_gradient(uv)
+        vis["mask"] = mask
+    return vis
+
+
+def compact_visibility(vis, pad_multiple: int = 512):
+    """Host-side compaction of hard-mode visibility constants.
+
+    Replaces the full-frame ``uv`` plane with a per-view sorted list of
+    covered pixels (``cov_idx`` flat indices + ``uv_cov``), padded to a
+    common budget (multiple of ``pad_multiple``; pad entries point at the
+    per-view H*W trash slot). ``shade_compact`` then touches only covered
+    pixels per step. No-op for soft modes (no ``uv`` key).
+
+    Runs OUTSIDE jit (numpy): visibility is precomputed once per camera
+    batch, so the host round trip is setup cost, not step cost.
+    """
+    if "uv" not in vis:
+        return vis
+    import numpy as np
+
+    uv = np.asarray(vis["uv"])
+    mask = np.asarray(vis["mask"])
+    lead = mask.shape[:-2]
+    h, w = mask.shape[-2], mask.shape[-1]
+    n = int(np.prod(lead)) if lead else 1
+    uvf = uv.reshape(n, h * w, 2)
+    mf = mask.reshape(n, h * w)
+    counts = mf.sum(axis=-1)
+    p_pad = max(pad_multiple,
+                int(-(-int(counts.max()) // pad_multiple)) * pad_multiple)
+    cov_idx = np.full((n, p_pad), h * w, np.int32)
+    uv_cov = np.zeros((n, p_pad, 2), np.float32)
+    for v in range(n):
+        nz = np.nonzero(mf[v])[0]
+        cov_idx[v, : len(nz)] = nz
+        uv_cov[v, : len(nz)] = uvf[v, nz]
+    # Only the compacted plan + mask are consumed per step; dropping the
+    # full-frame planes keeps them out of the (possibly sharded) step args.
+    return {
+        "mask": vis["mask"],
+        "cov_idx": jnp.asarray(cov_idx.reshape(lead + (p_pad,))),
+        "uv_cov": jnp.asarray(uv_cov.reshape(lead + (p_pad, 2))),
+    }
+
+
+def render_rgba_static(
+    mesh: Mesh,
+    vis,
+    settings: RasterizationSettings,
+) -> jnp.ndarray:
+    """``render_rgba`` with the visibility pass replaced by the precomputed
+    constants — identical output when the geometry matches the one passed to
+    ``precompute_visibility``. Differentiable w.r.t. ``mesh.texture`` only
+    (vertex gradients are deliberately absent: callers gate this path on
+    optimization_target == 'texture')."""
+    if "cov_idx" in vis:
+        from st3d.render.shading import shade_compact
+
+        return shade_compact(
+            mesh.texture, vis["cov_idx"], vis["uv_cov"], vis["mask"]
+        )
+    fv = vis["fv"]
+    if settings.soft and settings.faces_per_pixel > 1:
+        from st3d.render.topk import shade_softras
+
+        return jax.vmap(
+            lambda fvv, p2f_k: shade_softras(
+                fvv, p2f_k, mesh.verts_uvs, mesh.faces_uvs, mesh.texture,
+                sigma_px=settings.soft_sigma_px, gamma=settings.gamma,
+            )
+        )(fv, vis["p2f_k"])
+    if settings.soft:
+        from st3d.render.soft import shade_soft
+
+        return jax.vmap(
+            lambda fvv, p2f, near: shade_soft(
+                fvv, p2f, near, mesh.verts_uvs, mesh.faces_uvs,
+                mesh.texture, sigma_px=settings.soft_sigma_px,
+            )
+        )(fv, vis["p2f"], vis["near"])
+    if "uv" in vis:
+        from st3d.render.shading import shade_from_uvs
+
+        return shade_from_uvs(mesh.texture, vis["uv"], vis["mask"])
+    return jax.vmap(
+        lambda fvv, p2f: shade_textured(
+            fvv, p2f, mesh.verts_uvs, mesh.faces_uvs, mesh.texture
+        )
+    )(fv, vis["p2f"])
+
+
+def render_meshes_static(
+    mesh: Mesh,
+    vis,
+    settings: RasterizationSettings,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Static-visibility ``render_meshes``: images (N, 3, H, W), masks
+    (N, 1, H, W)."""
+    rgba = render_rgba_static(mesh, vis, settings)
+    images = jnp.transpose(rgba[..., :3], (0, 3, 1, 2))
+    masks = (rgba[..., 3:4] > 0).astype(images.dtype)
+    masks = jnp.transpose(masks, (0, 3, 1, 2))
+    return images, masks

@@ -127,6 +127,92 @@ def sample_texture(
     return top * (1 - fy)[..., None] + bot * fy[..., None]
 
 
+def pixel_uvs(
+    face_verts: jnp.ndarray,      # (F, 3, 3) screen verts (differentiable)
+    pix_to_face: jnp.ndarray,     # (H, W)
+    verts_uvs: jnp.ndarray,       # (Vt, 2)
+    faces_uvs: jnp.ndarray,       # (F, 3)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel texture coordinates (H, W, 2) + coverage mask (H, W).
+
+    Differentiable w.r.t. ``face_verts``; geometry-only — in a texture-only
+    optimization this whole function is a per-camera-batch CONSTANT that
+    the static-visibility path precomputes once (see
+    renderer.precompute_visibility).
+    """
+    # One row gather per pixel: pack the 9 screen-vert floats and 6 UV
+    # floats of every face into a 15-float row first (TPU gathers cost
+    # ~per row — see sample_texture).
+    f = face_verts.shape[0]
+    face_uv = verts_uvs[faces_uvs]  # (F, 3, 2)
+    pack = jnp.concatenate(
+        [face_verts.reshape(f, 9), face_uv.reshape(f, 6)], axis=-1
+    )
+    safe = jnp.maximum(pix_to_face, 0)
+    g = pack[safe]                                     # (H, W, 15)
+    tri = g[..., 0:9].reshape(g.shape[:-1] + (3, 3))
+    uvf = g[..., 9:15].reshape(g.shape[:-1] + (3, 2))
+    bary = barycentrics_of_triangles(tri)
+    uv = jnp.sum(uvf * bary[..., None], axis=-2)       # (H, W, 2)
+    return uv, pix_to_face >= 0
+
+
+def shade_from_uvs(
+    texture: jnp.ndarray,         # (Ht, Wt, 3)
+    uv: jnp.ndarray,              # (..., H, W, 2)
+    mask: jnp.ndarray,            # (..., H, W) bool
+    background_color: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+) -> jnp.ndarray:
+    """RGBA (..., H, W, 4) from per-pixel UVs: the texture-dependent tail of
+    ``shade_textured``. Accepts any leading batch axes (the quad-packing in
+    ``sample_texture`` then runs ONCE for the whole view batch instead of
+    per-vmapped view)."""
+    rgb = sample_texture(texture, uv)
+    m = mask[..., None]
+    bg = jnp.asarray(background_color, rgb.dtype)
+    rgb = jnp.where(m, rgb, bg)
+    alpha = m.astype(rgb.dtype)
+    return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+def shade_compact(
+    texture: jnp.ndarray,         # (Ht, Wt, 3)
+    cov_idx: jnp.ndarray,         # (..., P) int32 flat pixel idx, H*W=pad
+    uv_cov: jnp.ndarray,          # (..., P, 2) UVs of the covered pixels
+    mask: jnp.ndarray,            # (..., H, W) bool coverage
+    background_color: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+) -> jnp.ndarray:
+    """RGBA (..., H, W, 4) shading only the COVERED pixels.
+
+    The static-visibility fast path on top of ``shade_from_uvs``: with a
+    typical object filling ~1/3 of the frame, gathering/lerping texels for
+    background pixels — and scatter-adding their (zero) cotangents back into
+    the atlas — is the majority of the epilogue's row traffic. ``cov_idx``
+    and ``uv_cov`` are the per-view compacted pixel list built host-side by
+    ``renderer.compact_visibility`` (sorted, padded with the H*W trash
+    slot), so the forward is P gathers + one sorted-unique scatter-set whose
+    backward is a gather — no full-frame scatter anywhere.
+    """
+    rgb_cov = sample_texture(texture, uv_cov)          # (..., P, 3)
+    h, w = mask.shape[-2], mask.shape[-1]
+    bg = jnp.asarray(background_color, rgb_cov.dtype)
+
+    def one_view(idx_v, vals_v):
+        flat = jnp.broadcast_to(bg, (h * w + 1, 3))
+        flat = flat.at[idx_v].set(
+            vals_v, unique_indices=True, indices_are_sorted=True
+        )
+        return flat[:-1].reshape(h, w, 3)
+
+    lead = cov_idx.shape[:-1]
+    rgb = jax.vmap(one_view)(
+        cov_idx.reshape((-1,) + cov_idx.shape[-1:]),
+        rgb_cov.reshape((-1,) + rgb_cov.shape[-2:]),
+    ).reshape(lead + (h, w, 3))
+    alpha = mask.astype(rgb.dtype)[..., None]
+    return jnp.concatenate([rgb, alpha], axis=-1)
+
+
 def shade_textured(
     face_verts: jnp.ndarray,      # (F, 3, 3) screen verts (differentiable)
     pix_to_face: jnp.ndarray,     # (H, W)
@@ -143,23 +229,5 @@ def shade_textured(
     ``apply_background('white')`` is a no-op (reference utils.py:29-30), and
     the mask is alpha > 0 (utils.py:72).
     """
-    # One row gather per pixel: pack the 9 screen-vert floats and 6 UV
-    # floats of every face into a 15-float row first (TPU gathers cost
-    # ~per row — see sample_texture).
-    f = face_verts.shape[0]
-    face_uv = verts_uvs[faces_uvs]  # (F, 3, 2)
-    pack = jnp.concatenate(
-        [face_verts.reshape(f, 9), face_uv.reshape(f, 6)], axis=-1
-    )
-    safe = jnp.maximum(pix_to_face, 0)
-    g = pack[safe]                                     # (H, W, 15)
-    tri = g[..., 0:9].reshape(g.shape[:-1] + (3, 3))
-    uvf = g[..., 9:15].reshape(g.shape[:-1] + (3, 2))
-    bary = barycentrics_of_triangles(tri)
-    uv = jnp.sum(uvf * bary[..., None], axis=-2)       # (H, W, 2)
-    rgb = sample_texture(texture, uv)  # (H, W, 3)
-    mask = (pix_to_face >= 0)[..., None]
-    bg = jnp.asarray(background_color, rgb.dtype)
-    rgb = jnp.where(mask, rgb, bg)
-    alpha = mask.astype(rgb.dtype)
-    return jnp.concatenate([rgb, alpha], axis=-1)
+    uv, mask = pixel_uvs(face_verts, pix_to_face, verts_uvs, faces_uvs)
+    return shade_from_uvs(texture, uv, mask, background_color)
