@@ -52,7 +52,7 @@ def build_step(dtype_name: str = "bfloat16"):
         compact_visibility,
         precompute_visibility,
         render_meshes,
-        render_meshes_static,
+        render_rgba_static,
     )
     from st3d.utils.assets import resolve_asset
 
@@ -78,13 +78,13 @@ def build_step(dtype_name: str = "bfloat16"):
     # (same fast path the pipelines use).
     vis = compact_visibility(jax.jit(
         lambda m, c: precompute_visibility(m, c, settings)
-    )(mesh, cams))
+    )(mesh, cams), texture_shape=mesh.texture.shape)
 
     def loss_fn(p):
-        cur_imgs, _ = render_meshes_static(
-            apply_params(mesh, p), vis, settings
-        )
-        feats = get_features(cur_imgs, vgg, dtype=dtype, layout="NHWC")
+        # NHWC end-to-end: rgba straight from the static shade into VGG.
+        rgba = render_rgba_static(apply_params(mesh, p), vis, settings)
+        feats = get_features(rgba[..., :3], vgg, dtype=dtype,
+                             layout="NHWC", input_layout="NHWC")
         return style_content_loss(feats, targets, 1e6, 1.0, layout="NHWC")
 
     n_per_call = 25

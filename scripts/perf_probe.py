@@ -92,7 +92,7 @@ def main():
                                          dtype=dtype, layout="NHWC")
     vis = compact_visibility(jax.jit(
         lambda m, c: precompute_visibility(m, c, settings)
-    )(mesh, cams))
+    )(mesh, cams), texture_shape=mesh.texture.shape)
     params, optimizer, opt_state = setup_optimizations("texture", mesh, 0.01)
 
     results = {}

@@ -194,7 +194,8 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
             g = gram_matrix_nhwc(style_feats[l])
             style_grams[l] = g.reshape(n_styles, bsz, g.shape[-1], g.shape[-1])
         batch_const.append(
-            (compact_visibility(fleet_visibility(batch_cams)),
+            (compact_visibility(fleet_visibility(batch_cams),
+                                texture_shape=padded[0].texture.shape),
              cfeat, style_grams)
         )
 
@@ -250,19 +251,22 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
         def loss_fn(p):
             m, b = vis["mask"].shape[0], vis["mask"].shape[1]
 
-            def shade_mesh(idx_m, uvc_m, mask_m, tex_s):
+            def shade_mesh(idx_m, uvc_m, mask_m, tex_s, plan_m):
                 return jax.vmap(
-                    lambda tex: shade_compact(tex, idx_m, uvc_m, mask_m)
+                    lambda tex: shade_compact(
+                        tex, idx_m, uvc_m, mask_m, plan=plan_m
+                    )
                 )(tex_s)  # (S, B, H, W, 4)
 
             rgba = jax.vmap(shade_mesh)(
-                vis["cov_idx"], vis["uv_cov"], vis["mask"], p["textures"]
+                vis["cov_idx"], vis["uv_cov"], vis["mask"], p["textures"],
+                vis.get("plan"),
             )  # (M, S, B, H, W, 4)
-            imgs = jnp.transpose(rgba[..., :3], (0, 1, 2, 5, 3, 4))
+            imgs = rgba[..., :3]  # NHWC end-to-end (no NCHW round trip)
             s = imgs.shape[1]
             feats = get_features(
-                imgs.reshape(m * s * b, 3, size, size), vgg, dtype=dtype,
-                layout="NHWC",
+                imgs.reshape(m * s * b, size, size, 3), vgg, dtype=dtype,
+                layout="NHWC", input_layout="NHWC",
             )
             feats = {
                 k: v.reshape((m, s, b) + v.shape[1:])

@@ -147,7 +147,8 @@ def run_multistyle(cfg: PipelineConfig, style_paths: Sequence[str],
                 n_styles, bsz, g.shape[-1], g.shape[-1]
             )
         batch_const.append(
-            (compact_visibility(vis_jit(mesh, batch_cams)),
+            (compact_visibility(vis_jit(mesh, batch_cams),
+                                texture_shape=mesh.texture.shape),
              content_features, style_grams)
         )
 
@@ -198,14 +199,15 @@ def run_multistyle(cfg: PipelineConfig, style_paths: Sequence[str],
             # style's shading is one texel gather + lerp per pixel.
             rgba = jax.vmap(
                 lambda tex: shade_compact(
-                    tex, vis["cov_idx"], vis["uv_cov"], vis["mask"]
+                    tex, vis["cov_idx"], vis["uv_cov"], vis["mask"],
+                    plan=vis.get("plan"),
                 )
             )(p["textures"])  # (S, B, H, W, 4)
-            imgs = jnp.transpose(rgba[..., :3], (0, 1, 4, 2, 3))
+            imgs = rgba[..., :3]  # NHWC end-to-end (no NCHW round trip)
             s, b = imgs.shape[0], imgs.shape[1]
             feats = get_features(
-                imgs.reshape(s * b, 3, cfg.size, cfg.size), vgg,
-                dtype=dtype, layout="NHWC",
+                imgs.reshape(s * b, cfg.size, cfg.size, 3), vgg,
+                dtype=dtype, layout="NHWC", input_layout="NHWC",
             )
             feats = {
                 k: v.reshape((s, b) + v.shape[1:]) for k, v in feats.items()

@@ -59,6 +59,7 @@ from st3d.render.renderer import (
     precompute_visibility,
     render_meshes,
     render_meshes_static,
+    render_rgba_static,
 )
 from st3d.utils.assets import resolve_asset
 from st3d.utils.checkpoint import load_checkpoint, save_checkpoint
@@ -158,7 +159,11 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
     def mse_loss_fn(p, cams_b, target_imgs, vis):
         mesh = apply_params(content_mesh, p)
         if vis is not None:
-            imgs, masks = render_meshes_static(mesh, vis, settings)
+            # NHWC end-to-end (targets arrive pre-transposed); the loss is
+            # elementwise+mean, so the layout only has to be consistent.
+            rgba = render_rgba_static(mesh, vis, settings)
+            imgs = rgba[..., :3]
+            masks = (rgba[..., 3:4] > 0).astype(imgs.dtype)
         else:
             imgs, masks = render_meshes(mesh, cams_b, settings)
         verts = p.get("verts", content_mesh.verts)
@@ -249,7 +254,8 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
         print(f"\nBatch {i}")
         batch_cams = cameras[b0:b1]
         style_b = _load_style(cfg, bsz)
-        vis = (compact_visibility(vis_jit(content_mesh, batch_cams))
+        vis = (compact_visibility(vis_jit(content_mesh, batch_cams),
+                                  texture_shape=content_mesh.texture.shape)
                if static_vis else None)
 
         if i == start_batch and resume_applied is not None:
@@ -304,8 +310,12 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
         # Chunks never cross a checkpoint_every boundary, so mid-batch
         # checkpoints fire for ANY checkpoint_every value.
         if use_dp:
+            # The sampling plan's permutation spans ALL views jointly and
+            # cannot be view-sharded; the DP path keeps autodiff's scatter.
+            vis_nd = (dict((k, v) for k, v in vis.items() if k != "plan")
+                      if vis is not None else None)
             camR_s, camT_s, applied_s, vis_s = shard_views(
-                (batch_cams.R, batch_cams.T, applied, vis), dev_mesh
+                (batch_cams.R, batch_cams.T, applied, vis_nd), dev_mesh
             )
         while done < cfg.n_mse_steps:
             n = min(25, cfg.n_mse_steps - done)
@@ -320,7 +330,10 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
                     logger.log_step(i, done + k, float(loss))
             else:
                 params, opt_state, losses = mse_steps(
-                    params, opt_state, batch_cams, applied, vis, n
+                    params, opt_state, batch_cams,
+                    jnp.transpose(applied, (0, 2, 3, 1))
+                    if vis is not None else applied,
+                    vis, n
                 )
                 for k, lv in enumerate(np.asarray(losses)):
                     logger.log_step(i, done + k, float(lv))
@@ -401,7 +414,8 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
             targets = StyleContentTargets.create(
                 content_imgs, style_b, vgg, dtype=dtype, layout="NHWC"
             )
-        vis = (compact_visibility(vis_jit(content_mesh, batch_cams))
+        vis = (compact_visibility(vis_jit(content_mesh, batch_cams),
+                                  texture_shape=content_mesh.texture.shape)
                if static_vis else None)
         batch_const.append(
             (batch_cams, style_b, content_imgs, content_masks, targets, vis)
@@ -486,14 +500,27 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
         def loss_fn(p):
             mesh = apply_params(content_mesh, p)
             if vis is not None:
-                cur_imgs, cur_masks = render_meshes_static(
-                    mesh, vis, settings
+                # NHWC end-to-end on the static path: rgba straight into
+                # VGG (the NCHW round trip forced a channel-major layout
+                # onto the frame-assembly scatter — profiler-measured as
+                # the most expensive op of the step).
+                rgba = render_rgba_static(mesh, vis, settings)
+                cur_i = rgba[..., :3]
+                cur_m = (rgba[..., 3:4] > 0).astype(cur_i.dtype)
+                cur = apply_background(
+                    cur_i, cur_m, cfg.current_background,
+                    jnp.transpose(style_b, (0, 2, 3, 1)), r1
                 )
+                cur_feats = get_features(cur, vgg, dtype=dtype,
+                                         layout="NHWC", input_layout="NHWC")
+                cur = jnp.transpose(cur, (0, 3, 1, 2))  # aux stays NCHW
             else:
                 cur_imgs, cur_masks = render_meshes(mesh, cams_b, settings)
-            cur = apply_background(
-                cur_imgs, cur_masks, cfg.current_background, style_b, r1
-            )
+                cur = apply_background(
+                    cur_imgs, cur_masks, cfg.current_background, style_b, r1
+                )
+                cur_feats = get_features(cur, vgg, dtype=dtype,
+                                         layout="NHWC")
             tg = targets
             if content_noise:
                 content_b = apply_background(
@@ -503,7 +530,6 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
                     content_b, vgg, dtype=dtype, layout="NHWC"
                 )[CONTENT_LAYER]
                 tg = targets.replace(content_features=cf)
-            cur_feats = get_features(cur, vgg, dtype=dtype, layout="NHWC")
             main = style_content_loss(
                 cur_feats, tg, cfg.style_weight, cfg.content_weight,
                 layout="NHWC",
@@ -570,9 +596,13 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
     if use_dp:
         params = replicate(params, dev_mesh)
         opt_state = replicate(opt_state, dev_mesh)
+        # The sampling plan's permutation spans ALL views jointly and cannot
+        # be view-sharded; the DP path keeps autodiff's atlas scatter.
         batch_const = [
             tuple(shard_views(x, dev_mesh) for x in (
-                cams_b.R, cams_b.T, style_b, cimg, cmask, targets, vis))
+                cams_b.R, cams_b.T, style_b, cimg, cmask, targets,
+                (dict((k, v) for k, v in vis.items() if k != "plan")
+                 if vis is not None else None)))
             for (cams_b, style_b, cimg, cmask, targets, vis) in batch_const
         ]
         # On resume, continue the per-step noise-RNG seed sequence where the

@@ -163,6 +163,7 @@ def get_features(
     layers: Optional[Dict[str, str]] = None,
     dtype: jnp.dtype = jnp.float32,
     layout: str = "NCHW",
+    input_layout: str = "NCHW",
 ) -> Dict[str, jnp.ndarray]:
     """Tap dict for a batch of images, mirroring the reference
     ``get_features(image, model)`` (style_transfer.py:10-27).
@@ -177,12 +178,20 @@ def get_features(
     in the COMPUTE dtype, skipping the NCHW transpose + f32 materialization
     (a pure relayout — the f32 cast adds no information to a bf16 conv
     output, and the Gram/MSE consumers accumulate in f32 regardless).
+
+    ``input_layout="NHWC"`` accepts (B, H, W, 3) images directly — the
+    renderer produces NHWC, so hot loops skip the NCHW round trip entirely
+    (profiler: the transpose pair forced a channel-major layout onto the
+    frame-assembly scatter, the single most expensive op of the step).
     """
     wanted = set(TAP_CONV_INDEX)
     if layers is not None:
         wanted = set(layers.values())
 
-    x = jnp.transpose(images.astype(dtype), (0, 2, 3, 1))  # NHWC
+    if input_layout == "NHWC":
+        x = images.astype(dtype)
+    else:
+        x = jnp.transpose(images.astype(dtype), (0, 2, 3, 1))  # NHWC
     feats: Dict[str, jnp.ndarray] = {}
     name_by_conv = {v: k for k, v in TAP_CONV_INDEX.items()}
 
@@ -193,17 +202,34 @@ def get_features(
             continue
         w = model.kernels[conv_i].astype(dtype)
         b = model.biases[conv_i].astype(dtype)
-        # preferred_element_type must equal the operand dtype here: with a
-        # f32 preference on bf16 operands, the conv TRANSPOSE rule feeds a
-        # f32 cotangent back into a bf16 conv and fails. TPU MXU still
-        # accumulates bf16 convs in f32 internally.
-        x = jax.lax.conv_general_dilated(
-            x, w,
-            window_strides=(1, 1),
-            padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=dtype,
-        ) + b
+        if conv_i == 0:
+            # conv1_1 has Cin=3: as a conv the MXU runs at <3% of its lanes
+            # and XLA pads/relayouts around it (profiler: several ms of
+            # "data formatting" at 512**2). As im2col + one (27, 64) matmul
+            # it is dense MXU work — same zero-padded SAME semantics, same
+            # values (patch order (dy, dx, c) matches the HWIO flatten).
+            bsz, h, wd, _ = x.shape
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            patches = jnp.concatenate(
+                [xp[:, dy:dy + h, dx:dx + wd, :]
+                 for dy in range(3) for dx in range(3)], axis=-1,
+            )
+            x = jnp.einsum(
+                "bhwk,ko->bhwo", patches, w.reshape(27, -1),
+                preferred_element_type=dtype,
+            ) + b
+        else:
+            # preferred_element_type must equal the operand dtype here: with
+            # a f32 preference on bf16 operands, the conv TRANSPOSE rule
+            # feeds a f32 cotangent back into a bf16 conv and fails. TPU MXU
+            # still accumulates bf16 convs in f32 internally.
+            x = jax.lax.conv_general_dilated(
+                x, w,
+                window_strides=(1, 1),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=dtype,
+            ) + b
         if conv_i in name_by_conv and name_by_conv[conv_i] in wanted:
             if layout == "NHWC":
                 feats[name_by_conv[conv_i]] = x

@@ -139,7 +139,7 @@ def precompute_visibility(
     return vis
 
 
-def compact_visibility(vis, pad_multiple: int = 512):
+def compact_visibility(vis, texture_shape=None, pad_multiple: int = 512):
     """Host-side compaction of hard-mode visibility constants.
 
     Replaces the full-frame ``uv`` plane with a per-view sorted list of
@@ -147,6 +147,17 @@ def compact_visibility(vis, pad_multiple: int = 512):
     common budget (multiple of ``pad_multiple``; pad entries point at the
     per-view H*W trash slot). ``shade_compact`` then touches only covered
     pixels per step. No-op for soft modes (no ``uv`` key).
+
+    With ``texture_shape`` (Ht, Wt[, ...]) a static SAMPLING PLAN is also
+    built: per-pixel bilinear coordinates (computed on-device with the same
+    ``sample_coords`` the live path uses, so values agree bit-for-bit) plus
+    a permutation sorting all bilinear contributions of a camera batch by
+    target texel. ``shading.sample_covered_planned`` consumes it to turn the
+    texture-gradient scatter into a sorted segment-sum. The plan jointly
+    flattens the LAST lead axis (views — which share one texture); outer
+    lead axes (e.g. the fleet's mesh axis) each get their own permutation.
+    NOTE: the plan must not be re-sharded along the view axis (its
+    permutation spans all views); drop it before view-sharding vis.
 
     Runs OUTSIDE jit (numpy): visibility is precomputed once per camera
     batch, so the host round trip is setup cost, not step cost.
@@ -173,11 +184,36 @@ def compact_visibility(vis, pad_multiple: int = 512):
         uv_cov[v, : len(nz)] = uvf[v, nz]
     # Only the compacted plan + mask are consumed per step; dropping the
     # full-frame planes keeps them out of the (possibly sharded) step args.
-    return {
+    out = {
         "mask": vis["mask"],
         "cov_idx": jnp.asarray(cov_idx.reshape(lead + (p_pad,))),
         "uv_cov": jnp.asarray(uv_cov.reshape(lead + (p_pad, 2))),
     }
+    if texture_shape is not None:
+        from st3d.render.shading import sample_coords
+
+        ht, wt = int(texture_shape[0]), int(texture_shape[1])
+        x0, y0, fx, fy = jax.jit(
+            lambda u: sample_coords((ht, wt), u)
+        )(out["uv_cov"])
+        x0h, y0h = np.asarray(x0), np.asarray(y0)
+        tix = (y0h.astype(np.int64) * wt + x0h).astype(np.int32)
+        b_ax = lead[-1] if lead else 1
+        outer = lead[:-1]
+        n_out = int(np.prod(outer)) if outer else 1
+        tflat = tix.reshape(n_out, b_ax * p_pad)
+        # 4 contributions per pixel target texels (i00, i00+1, i00+wt,
+        # i00+wt+1); sorting i00 sorts all four columns simultaneously.
+        perm = np.argsort(tflat, axis=-1, kind="stable").astype(np.int32)
+        segids = np.take_along_axis(tflat, perm, axis=-1)
+        out["plan"] = {
+            "idx": jnp.asarray(tix.reshape(lead + (p_pad,))),
+            "fx": fx,
+            "fy": fy,
+            "perm": jnp.asarray(perm.reshape(outer + (b_ax * p_pad,))),
+            "segids": jnp.asarray(segids.reshape(outer + (b_ax * p_pad,))),
+        }
+    return out
 
 
 def render_rgba_static(
@@ -194,7 +230,8 @@ def render_rgba_static(
         from st3d.render.shading import shade_compact
 
         return shade_compact(
-            mesh.texture, vis["cov_idx"], vis["uv_cov"], vis["mask"]
+            mesh.texture, vis["cov_idx"], vis["uv_cov"], vis["mask"],
+            plan=vis.get("plan"),
         )
     fv = vis["fv"]
     if settings.soft and settings.faces_per_pixel > 1:

@@ -81,15 +81,14 @@ def interpolate_face_attributes(
     return jnp.sum(a * barycentrics[..., None], axis=-2)
 
 
-def sample_texture(
-    texture: jnp.ndarray,         # (Ht, Wt, 3), row 0 = top
-    uv: jnp.ndarray,              # (..., 2) with v=0 at the bottom
-    align_corners: bool = True,
-) -> jnp.ndarray:
-    """Differentiable bilinear texture sampling with border padding and the
-    TexturesUV V-flip. Gradient w.r.t. ``texture`` is a bilinear scatter-add
-    into the atlas (via XLA autodiff of the gathers)."""
-    ht, wt = texture.shape[0], texture.shape[1]
+def sample_coords(texture_hw, uv: jnp.ndarray, align_corners: bool = True):
+    """Bilinear sample coordinates: (x0, y0) int32 top-left texel + (fx, fy)
+    fractional offsets, with border clamping and the TexturesUV V-flip.
+
+    Shared by ``sample_texture`` (in-graph) and the static sampling plan
+    (``renderer.compact_visibility`` precomputes these once per camera batch
+    on-device so plan and live path agree bit-for-bit)."""
+    ht, wt = texture_hw
     u = uv[..., 0]
     v = uv[..., 1]
     if align_corners:
@@ -106,25 +105,97 @@ def sample_texture(
     y0 = jnp.clip(jnp.floor(y), 0, ht - 2)
     fx = x - x0
     fy = y - y0
+    return x0.astype(jnp.int32), y0.astype(jnp.int32), fx, fy
 
-    # TPU gathers cost ~per row, not per byte: pre-pack each texel's 2x2
-    # neighborhood into one 12-float row so the whole bilinear tap is a
-    # SINGLE gather (measured 3.6x over four separate taps at 512**2 in the
-    # full fwd+bwd; the packing is three cheap shifted concats whose
-    # backward folds the atlas scatter correctly).
+
+def _quad_pack(texture: jnp.ndarray) -> jnp.ndarray:
+    """(Ht, Wt, 3) atlas -> (Ht*Wt, 12) rows holding each texel's 2x2
+    neighborhood, so a whole bilinear tap is ONE row gather (TPU gathers
+    cost ~per row, not per byte; measured 3.6x over four separate taps at
+    512**2 in the full fwd+bwd)."""
+    ht, wt = texture.shape[0], texture.shape[1]
     t_r = jnp.concatenate([texture[:, 1:], texture[:, -1:]], axis=1)
     t_d = jnp.concatenate([texture[1:], texture[-1:]], axis=0)
     t_rd = jnp.concatenate([t_d[:, 1:], t_d[:, -1:]], axis=1)
-    quad = jnp.concatenate([texture, t_r, t_d, t_rd], axis=-1)  # (H, W, 12)
-    quad = quad.reshape(ht * wt, 12)
+    quad = jnp.concatenate([texture, t_r, t_d, t_rd], axis=-1)
+    return quad.reshape(ht * wt, 12)
 
-    idx = y0.astype(jnp.int32) * wt + x0.astype(jnp.int32)
-    g = quad[idx]  # (..., 12)
-    t00, t01 = g[..., 0:3], g[..., 3:6]
-    t10, t11 = g[..., 6:9], g[..., 9:12]
-    top = t00 * (1 - fx)[..., None] + t01 * fx[..., None]
-    bot = t10 * (1 - fx)[..., None] + t11 * fx[..., None]
+
+def _bilerp_rows(g: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray):
+    """Lerp quad rows (..., 12) -> (..., 3) (exact association kept stable:
+    top/bottom then vertical — any change breaks bit-parity tests)."""
+    top = g[..., 0:3] * (1 - fx)[..., None] + g[..., 3:6] * fx[..., None]
+    bot = g[..., 6:9] * (1 - fx)[..., None] + g[..., 9:12] * fx[..., None]
     return top * (1 - fy)[..., None] + bot * fy[..., None]
+
+
+def sample_texture(
+    texture: jnp.ndarray,         # (Ht, Wt, 3), row 0 = top
+    uv: jnp.ndarray,              # (..., 2) with v=0 at the bottom
+    align_corners: bool = True,
+) -> jnp.ndarray:
+    """Differentiable bilinear texture sampling with border padding and the
+    TexturesUV V-flip. Gradient w.r.t. ``texture`` is a bilinear scatter-add
+    into the atlas (via XLA autodiff of the gathers)."""
+    ht, wt = texture.shape[0], texture.shape[1]
+    x0, y0, fx, fy = sample_coords((ht, wt), uv, align_corners)
+    quad = _quad_pack(texture)
+    idx = y0 * wt + x0
+    return _bilerp_rows(quad[idx], fx, fy)
+
+
+@jax.custom_vjp
+def sample_covered_planned(texture, idx, fx, fy, perm, segids):
+    """``sample_texture`` on a STATIC sampling plan (texture-only hot loops).
+
+    idx/fx/fy are the per-covered-pixel coordinates from ``sample_coords``
+    (constants — see renderer.compact_visibility); perm is a static
+    permutation sorting the flattened bilinear contributions by TARGET TEXEL
+    and segids the sorted texel ids. Forward is identical math to
+    ``sample_texture``. The custom backward replaces XLA's random-order
+    atlas scatter-add (the single most expensive op of the step at 512**2 —
+    ~5ms, profiler-measured) with gather-by-perm + a SORTED segment-sum +
+    dense shifted adds: the exact transpose of the same linear map, just
+    evaluated in texel order. This is the one custom VJP in the tree; it is
+    equality-tested against the autodiff gradient
+    (tests/test_static_visibility.py).
+    """
+    ht, wt = texture.shape[0], texture.shape[1]
+    return _bilerp_rows(_quad_pack(texture)[idx], fx, fy)
+
+
+def _planned_fwd(texture, idx, fx, fy, perm, segids):
+    out = sample_covered_planned(texture, idx, fx, fy, perm, segids)
+    return out, (texture.shape[0], texture.shape[1], fx, fy, perm, segids)
+
+
+def _planned_bwd(res, ct):
+    ht, wt, fx, fy, perm, segids = res
+    w00 = (1 - fx) * (1 - fy)
+    w01 = fx * (1 - fy)
+    w10 = (1 - fx) * fy
+    w11 = fx * fy
+    # Quad-packed cotangent rows, reordered into texel order (static perm),
+    # then reduced with a sorted segment-sum. Column k of the (Ht*Wt, 12)
+    # result holds the contributions whose target texel is the k-th corner
+    # of the quad anchored at the row's texel — fold them with dense
+    # shifted adds (the transpose of _quad_pack's shifted concats).
+    ctq = jnp.concatenate(
+        [ct * w00[..., None], ct * w01[..., None],
+         ct * w10[..., None], ct * w11[..., None]], axis=-1)
+    flat = ctq.reshape((-1, 12))[perm]
+    sums = jax.ops.segment_sum(
+        flat, segids, num_segments=ht * wt, indices_are_sorted=True
+    )
+    s = sums.reshape(ht, wt, 12)
+    g = s[..., 0:3]
+    g = g.at[:, 1:].add(s[:, :-1, 3:6])
+    g = g.at[1:, :].add(s[:-1, :, 6:9])
+    g = g.at[1:, 1:].add(s[:-1, :-1, 9:12])
+    return (g, None, None, None, None, None)
+
+
+sample_covered_planned.defvjp(_planned_fwd, _planned_bwd)
 
 
 def pixel_uvs(
@@ -181,6 +252,7 @@ def shade_compact(
     uv_cov: jnp.ndarray,          # (..., P, 2) UVs of the covered pixels
     mask: jnp.ndarray,            # (..., H, W) bool coverage
     background_color: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    plan=None,                    # static sampling plan (see below)
 ) -> jnp.ndarray:
     """RGBA (..., H, W, 4) shading only the COVERED pixels.
 
@@ -192,8 +264,19 @@ def shade_compact(
     ``renderer.compact_visibility`` (sorted, padded with the H*W trash
     slot), so the forward is P gathers + one sorted-unique scatter-set whose
     backward is a gather — no full-frame scatter anywhere.
+
+    ``plan`` (when compact_visibility was given the texture shape) switches
+    the sampling to ``sample_covered_planned``: same forward values, but the
+    atlas-gradient scatter is replaced by a sorted segment-sum over the
+    plan's static texel ordering.
     """
-    rgb_cov = sample_texture(texture, uv_cov)          # (..., P, 3)
+    if plan is not None:
+        rgb_cov = sample_covered_planned(
+            texture, plan["idx"], plan["fx"], plan["fy"],
+            plan["perm"], plan["segids"],
+        )
+    else:
+        rgb_cov = sample_texture(texture, uv_cov)      # (..., P, 3)
     h, w = mask.shape[-2], mask.shape[-1]
     bg = jnp.asarray(background_color, rgb_cov.dtype)
 

@@ -121,6 +121,49 @@ def test_compact_matches_full_static():
     np.testing.assert_array_equal(np.asarray(g_comp), np.asarray(g_full))
 
 
+def test_planned_sampling_matches_autodiff():
+    """The custom-VJP sampling plan (sorted segment-sum texture gradient)
+    must reproduce the autodiff scatter gradient and the plan-less forward
+    values exactly."""
+    from st3d.render.renderer import compact_visibility
+
+    mesh = _tilted_quad()
+    cams = build_fixed_cameras(2, shuffle=False)
+    settings = _settings("hard")
+    vis = jax.jit(lambda m: precompute_visibility(m, cams, settings))(mesh)
+    cvis_ad = compact_visibility(vis)                 # autodiff scatter
+    cvis_pl = compact_visibility(vis, texture_shape=mesh.texture.shape)
+    assert "plan" in cvis_pl and "plan" not in cvis_ad
+
+    f_ad = jax.jit(lambda m: render_rgba_static(m, cvis_ad, settings))
+    f_pl = jax.jit(lambda m: render_rgba_static(m, cvis_pl, settings))
+    np.testing.assert_array_equal(
+        np.asarray(f_pl(mesh)), np.asarray(f_ad(mesh))
+    )
+
+    def loss(tex, v):
+        return jnp.sum(
+            render_rgba_static(mesh.replace(texture=tex), v, settings) ** 2
+        )
+
+    g_ad = jax.jit(jax.grad(lambda t: loss(t, cvis_ad)))(mesh.texture)
+    g_pl = jax.jit(jax.grad(lambda t: loss(t, cvis_pl)))(mesh.texture)
+    # Same linear-map transpose, different summation order (texel-sorted
+    # segment-sum vs scatter order) -> fp-addition jitter only.
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_ad), atol=1e-5, rtol=1e-5
+    )
+    assert float(jnp.abs(g_pl).max()) > 0
+
+    # vmap over textures (the multistyle pattern) batches the custom VJP.
+    texs = jnp.stack([mesh.texture, mesh.texture * 0.5])
+    gv = jax.jit(jax.vmap(jax.grad(lambda t: loss(t, cvis_pl))))(texs)
+    gv_ad = jax.jit(jax.vmap(jax.grad(lambda t: loss(t, cvis_ad))))(texs)
+    np.testing.assert_allclose(
+        np.asarray(gv), np.asarray(gv_ad), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_compact_soft_passthrough():
     """Soft-mode vis has no uv plane; compaction must be a no-op."""
     from st3d.render.renderer import compact_visibility
