@@ -251,16 +251,16 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
         def loss_fn(p):
             m, b = vis["mask"].shape[0], vis["mask"].shape[1]
 
-            def shade_mesh(idx_m, uvc_m, mask_m, tex_s, plan_m):
+            def shade_mesh(idx_m, uvc_m, cov8_m, mask_m, tex_s, plan_m):
                 return jax.vmap(
                     lambda tex: shade_compact(
-                        tex, idx_m, uvc_m, mask_m, plan=plan_m
+                        tex, idx_m, uvc_m, cov8_m, mask_m, plan=plan_m
                     )
                 )(tex_s)  # (S, B, H, W, 4)
 
             rgba = jax.vmap(shade_mesh)(
-                vis["cov_idx"], vis["uv_cov"], vis["mask"], p["textures"],
-                vis.get("plan"),
+                vis["chunk_idx"], vis["uv_cov"], vis["cov8"],
+                vis["mask"], p["textures"], vis.get("plan"),
             )  # (M, S, B, H, W, 4)
             imgs = rgba[..., :3]  # NHWC end-to-end (no NCHW round trip)
             s = imgs.shape[1]

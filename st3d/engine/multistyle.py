@@ -199,8 +199,8 @@ def run_multistyle(cfg: PipelineConfig, style_paths: Sequence[str],
             # style's shading is one texel gather + lerp per pixel.
             rgba = jax.vmap(
                 lambda tex: shade_compact(
-                    tex, vis["cov_idx"], vis["uv_cov"], vis["mask"],
-                    plan=vis.get("plan"),
+                    tex, vis["chunk_idx"], vis["uv_cov"], vis["cov8"],
+                    vis["mask"], plan=vis.get("plan"),
                 )
             )(p["textures"])  # (S, B, H, W, 4)
             imgs = rgba[..., :3]  # NHWC end-to-end (no NCHW round trip)

@@ -248,27 +248,31 @@ def shade_from_uvs(
 
 def shade_compact(
     texture: jnp.ndarray,         # (Ht, Wt, 3)
-    cov_idx: jnp.ndarray,         # (..., P) int32 flat pixel idx, H*W=pad
-    uv_cov: jnp.ndarray,          # (..., P, 2) UVs of the covered pixels
+    chunk_idx: jnp.ndarray,       # (..., C) int32 aligned window ids
+    uv_cov: jnp.ndarray,          # (..., C, K, 2) UVs of the window pixels
+    cov8: jnp.ndarray,            # (..., C, K) bool per-pixel coverage
     mask: jnp.ndarray,            # (..., H, W) bool coverage
     background_color: Tuple[float, float, float] = (1.0, 1.0, 1.0),
     plan=None,                    # static sampling plan (see below)
 ) -> jnp.ndarray:
-    """RGBA (..., H, W, 4) shading only the COVERED pixels.
+    """RGBA (..., H, W, 4) shading only the COVERED pixel windows.
 
     The static-visibility fast path on top of ``shade_from_uvs``: with a
     typical object filling ~1/3 of the frame, gathering/lerping texels for
     background pixels — and scatter-adding their (zero) cotangents back into
-    the atlas — is the majority of the epilogue's row traffic. ``cov_idx``
-    and ``uv_cov`` are the per-view compacted pixel list built host-side by
-    ``renderer.compact_visibility`` (sorted, padded with the H*W trash
-    slot), so the forward is P gathers + one sorted-unique scatter-set whose
-    backward is a gather — no full-frame scatter anywhere.
+    the atlas — is the majority of the epilogue's row traffic.
+    ``renderer.compact_visibility`` builds the sorted, padded window list
+    host-side; the forward is C*K gathers + ONE sorted-unique scatter-set of
+    K-pixel rows (TPU scatters are row-rate-limited: K-pixel windows are
+    ~2.4x cheaper than per-pixel rows at 512**2) whose backward is a gather
+    — no full-frame scatter anywhere.
 
     ``plan`` (when compact_visibility was given the texture shape) switches
     the sampling to ``sample_covered_planned``: same forward values, but the
     atlas-gradient scatter is replaced by a sorted segment-sum over the
-    plan's static texel ordering.
+    plan's static texel ordering. Uncovered pixels inside covered windows
+    reach the sampler with uv=0, and the jnp.where below zeroes their
+    cotangents before they reach it.
     """
     if plan is not None:
         rgb_cov = sample_covered_planned(
@@ -276,21 +280,23 @@ def shade_compact(
             plan["perm"], plan["segids"],
         )
     else:
-        rgb_cov = sample_texture(texture, uv_cov)      # (..., P, 3)
+        rgb_cov = sample_texture(texture, uv_cov)      # (..., C, K, 3)
     h, w = mask.shape[-2], mask.shape[-1]
+    k = uv_cov.shape[-2]
     bg = jnp.asarray(background_color, rgb_cov.dtype)
+    vals = jnp.where(cov8[..., None], rgb_cov, bg)
 
     def one_view(idx_v, vals_v):
-        flat = jnp.broadcast_to(bg, (h * w + 1, 3))
+        flat = jnp.broadcast_to(bg, (h * w // k + 1, k, 3))
         flat = flat.at[idx_v].set(
             vals_v, unique_indices=True, indices_are_sorted=True
         )
         return flat[:-1].reshape(h, w, 3)
 
-    lead = cov_idx.shape[:-1]
+    lead = chunk_idx.shape[:-1]
     rgb = jax.vmap(one_view)(
-        cov_idx.reshape((-1,) + cov_idx.shape[-1:]),
-        rgb_cov.reshape((-1,) + rgb_cov.shape[-2:]),
+        chunk_idx.reshape((-1,) + chunk_idx.shape[-1:]),
+        vals.reshape((-1,) + vals.shape[-3:]),
     ).reshape(lead + (h, w, 3))
     alpha = mask.astype(rgb.dtype)[..., None]
     return jnp.concatenate([rgb, alpha], axis=-1)

@@ -105,7 +105,7 @@ def test_compact_matches_full_static():
     settings = _settings("hard")
     vis = jax.jit(lambda m: precompute_visibility(m, cams, settings))(mesh)
     cvis = compact_visibility(vis)
-    assert set(cvis) == {"cov_idx", "uv_cov", "mask"}
+    assert set(cvis) == {"chunk_idx", "uv_cov", "cov8", "mask"}
 
     full = jax.jit(lambda m: render_rgba_static(m, vis, settings))(mesh)
     comp = jax.jit(lambda m: render_rgba_static(m, cvis, settings))(mesh)
