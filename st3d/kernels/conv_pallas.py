@@ -1,0 +1,105 @@
+"""Pallas TPU 3x3 SAME convolution for the VGG stage-1/2 layers.
+
+Why: XLA's conv strategy for the early VGG layers (64-128 channels at
+512**2/256**2) spends more time on layout copies around each conv than on
+the matmuls themselves — profiler-measured ~10ms/step of "data formatting"
+at the 512**2 bench workload, against a ~2ms compute roofline for those
+layers. This kernel keeps a row band of the image resident in VMEM, runs
+the nine taps as MXU matmuls into an f32 accumulator, and writes the
+(bias-added) output once — no intermediate layouts for XLA to bounce
+between. ReLU intentionally stays OUTSIDE (pre-ReLU taps are the style
+surface, and XLA fuses the max for free).
+
+The backward is the same kernel: for a stride-1 SAME conv the input
+gradient is a 3x3 SAME conv of the cotangent with the spatially-flipped,
+IO-transposed kernel. VGG weights are frozen in this framework (SURVEY.md
+L6 — only textures/verts train), so no weight gradient is needed and the
+custom VJP returns None for the weight/bias cotangents.
+
+Replaces the capability of torchvision's VGG conv layers on the hot path
+(reference style_transfer.py:10-27 feature extraction); `get_features`
+gates it to the TPU backend and falls back to `lax.conv_general_dilated`
+elsewhere (tests pin pallas==XLA equality in interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+# 16 rows/block: ~6.7MB VMEM with double-buffered in/out blocks at the
+# largest shape (512-wide, 64ch); 32 rows OOMs the 16MB scoped limit.
+BLOCK_ROWS = 16
+
+
+def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, bh, wi, cin, cout):
+    # x_ref: (1, bh+2, wi+2, cin) halo'd input rows; w_ref: (9*cin, cout)
+    # tap-major packed weights; b_ref: (1, cout); o_ref: (1, bh, wi, cout).
+    acc = jnp.zeros((bh * wi, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            tap = x_ref[0, dy:dy + bh, dx:dx + wi, :].reshape(
+                bh * wi, cin
+            )
+            wk = w_ref[(dy * 3 + dx) * cin:(dy * 3 + dx + 1) * cin, :]
+            acc = acc + jnp.dot(
+                tap, wk, preferred_element_type=jnp.float32
+            )
+    acc = acc + b_ref[0].astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype).reshape(bh, wi, cout)
+
+
+def _conv3x3_same_impl(x, w, b, interpret):
+    bsz, h, wi, cin = x.shape
+    cout = w.shape[3]
+    bh = BLOCK_ROWS
+    while h % bh:
+        bh //= 2
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wf = w.reshape(9 * cin, cout)
+    return pl.pallas_call(
+        functools.partial(_conv_kernel, bh=bh, wi=wi, cin=cin, cout=cout),
+        grid=(bsz, h // bh),
+        in_specs=[
+            # Overlapping row windows (the +-1 halo) need element-offset
+            # indexing; Mosaic requires every dim of the spec to use it.
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(bh + 2), pl.Element(wi + 2),
+                 pl.Element(cin)),
+                lambda bi, hi: (bi, hi * bh, 0, 0),
+            ),
+            pl.BlockSpec((9 * cin, cout), lambda bi, hi: (0, 0)),
+            pl.BlockSpec((1, cout), lambda bi, hi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bh, wi, cout), lambda bi, hi: (bi, hi, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, wi, cout), x.dtype),
+        interpret=interpret,
+    )(xp, wf, b.reshape(1, cout))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_bias(x, w, b, interpret=False):
+    """3x3 SAME stride-1 conv + bias, NHWC/HWIO, f32 accumulation.
+
+    Differentiable w.r.t. ``x`` only (VGG weights are frozen).
+    """
+    return _conv3x3_same_impl(x, w, b, interpret)
+
+
+def _fwd(x, w, b, interpret):
+    return conv3x3_bias(x, w, b, interpret), (w,)
+
+
+def _bwd(interpret, res, ct):
+    (w,) = res
+    wt = jnp.flip(jnp.flip(w, axis=0), axis=1).transpose(0, 1, 3, 2)
+    zb = jnp.zeros((w.shape[2],), ct.dtype)
+    return _conv3x3_same_impl(ct, wt, zb, interpret), None, None
+
+
+conv3x3_bias.defvjp(_fwd, _bwd)

@@ -150,6 +150,34 @@ def get_vgg(weights_path: Optional[str] = None) -> VGG19:
     return init_random_vgg19()
 
 
+# Conv layers routed through the Pallas row-band kernel on TPU: every 3x3
+# conv except conv1_1 (which runs as im2col — Cin=3 starves the MXU either
+# way). Measured at the 512**2 bench workload: 23.5 it/s all-XLA, 27.1 with
+# stages 1-2, 28.6 with all twelve — XLA's conv strategies drown the early
+# stages in layout copies and still leave a few percent on the later ones.
+# Env-overridable for experiments: ST3D_PALLAS_CONVS="1,2,3" (conv
+# indices), "" disables.
+import os as _os
+
+_env = _os.environ.get("ST3D_PALLAS_CONVS")
+PALLAS_CONVS = (
+    frozenset(int(t) for t in _env.split(",") if t)
+    if _env is not None else frozenset(range(1, 13))
+)
+
+
+def _pallas_conv_ok(x: jnp.ndarray) -> bool:
+    """Gate: real TPU backend, spatial dims the kernel's banding accepts."""
+    import os
+
+    if os.environ.get("ST3D_NO_PALLAS_CONV"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    h, w = x.shape[1], x.shape[2]
+    return h % 8 == 0 and w % 8 == 0
+
+
 def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     """torch MaxPool2d(kernel=2, stride=2) in NHWC (floor mode == VALID)."""
     return jax.lax.reduce_window(
@@ -218,6 +246,14 @@ def get_features(
                 "bhwk,ko->bhwo", patches, w.reshape(27, -1),
                 preferred_element_type=dtype,
             ) + b
+        elif conv_i in PALLAS_CONVS and _pallas_conv_ok(x):
+            # Stage-1/2 convs (64-128 ch at large spatial): XLA's conv
+            # strategy drowns these in layout copies; the Pallas kernel
+            # keeps a row band in VMEM and writes the output once
+            # (st3d/kernels/conv_pallas.py).
+            from st3d.kernels.conv_pallas import conv3x3_bias
+
+            x = conv3x3_bias(x, w, b)
         else:
             # preferred_element_type must equal the operand dtype here: with
             # a f32 preference on bf16 operands, the conv TRANSPOSE rule

@@ -1,0 +1,68 @@
+"""Pallas 3x3 conv kernel vs lax.conv_general_dilated (interpret mode on
+CPU; the TPU path compiles the same kernel)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from st3d.kernels.conv_pallas import conv3x3_bias
+
+
+def _xla_conv(x, w, b):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    ) + b
+
+
+@pytest.mark.parametrize("shape,cout", [
+    ((2, 64, 48, 16), 24),    # uneven W, Cin != Cout
+    ((1, 16, 16, 64), 64),    # square, matches BLOCK_ROWS
+    ((3, 40, 8, 3), 32),      # tiny width, RGB input
+])
+def test_forward_matches_xla(shape, cout):
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, shape, jnp.float32)
+    w = jax.random.normal(
+        jax.random.fold_in(key, 1), (3, 3, shape[3], cout), jnp.float32
+    ) * 0.1
+    b = jax.random.normal(jax.random.fold_in(key, 2), (cout,), jnp.float32)
+    out = jax.jit(lambda xx: conv3x3_bias(xx, w, b, True))(x)
+    ref = jax.jit(lambda xx: _xla_conv(xx, w, b))(x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_input_gradient_matches_xla():
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (2, 32, 24, 8), jnp.float32)
+    w = jax.random.normal(
+        jax.random.fold_in(key, 1), (3, 3, 8, 16), jnp.float32
+    ) * 0.1
+    b = jnp.zeros((16,), jnp.float32)
+    tgt = jax.random.normal(jax.random.fold_in(key, 2), (2, 32, 24, 16),
+                            jnp.float32)
+
+    g_pal = jax.jit(jax.grad(
+        lambda xx: jnp.sum((conv3x3_bias(xx, w, b, True) - tgt) ** 2)
+    ))(x)
+    g_ref = jax.jit(jax.grad(
+        lambda xx: jnp.sum((_xla_conv(xx, w, b) - tgt) ** 2)
+    ))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_pal), np.asarray(g_ref), atol=1e-4, rtol=1e-4
+    )
+    assert float(jnp.abs(g_pal).max()) > 0
+
+
+def test_get_features_gate_off_cpu():
+    """On the CPU backend get_features must take the XLA conv path (the
+    Pallas gate requires a real TPU)."""
+    from st3d.models.vgg import _pallas_conv_ok
+
+    x = jnp.zeros((1, 64, 64, 3))
+    assert jax.default_backend() != "tpu"
+    assert not _pallas_conv_ok(x)
