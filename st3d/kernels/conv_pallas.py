@@ -30,9 +30,20 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-# 16 rows/block: ~6.7MB VMEM with double-buffered in/out blocks at the
-# largest shape (512-wide, 64ch); 32 rows OOMs the 16MB scoped limit.
-BLOCK_ROWS = 16
+# VMEM budget is rows x width x channels (f32 accumulator dominates), so
+# the row band must shrink with BOTH width and channel count: a fixed
+# 16-row band fits 512-wide/64ch but OOMs the 16MB scoped limit at 768-wide
+# (width) and at 64-wide/512ch with a pixel-only rule (channels).
+BLOCK_PIXELS_64CH = 8192
+
+
+def _band_rows(h: int, wi: int, cin: int, cout: int, itemsize: int) -> int:
+    budget = max(256, BLOCK_PIXELS_64CH * 64 // max(cin, cout, 64))
+    budget = budget * 2 // max(2, itemsize)   # sized for bf16; halve for f32
+    bh = max(1, min(h, 16, budget // max(1, wi)))
+    while h % bh:
+        bh -= 1
+    return bh
 
 
 def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, bh, wi, cin, cout):
@@ -55,9 +66,7 @@ def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, bh, wi, cin, cout):
 def _conv3x3_same_impl(x, w, b, interpret):
     bsz, h, wi, cin = x.shape
     cout = w.shape[3]
-    bh = BLOCK_ROWS
-    while h % bh:
-        bh //= 2
+    bh = _band_rows(h, wi, cin, cout, x.dtype.itemsize)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     wf = w.reshape(9 * cin, cout)
     return pl.pallas_call(
