@@ -262,6 +262,32 @@ def main() -> int:
     record("donated_trajectory_sane", finite and decreasing,
            f"finite={finite} decreasing={decreasing}")
 
+    # --- 4. compiled Pallas conv kernel vs XLA conv --------------------
+    from st3d.kernels.conv_pallas import conv3x3_bias
+
+    for dtype, shape, cout, tol in (
+        (jnp.bfloat16, (2, 512, 512, 64), 64, 0.25),
+        (jnp.float32, (2, 768, 768, 64), 64, 1e-3),   # wide-image banding
+        (jnp.bfloat16, (2, 64, 64, 512), 512, 4.0),   # deep-layer banding
+    ):
+        key = jax.random.PRNGKey(7)
+        xc = jax.random.normal(key, shape, dtype)
+        wc = (jax.random.normal(jax.random.fold_in(key, 1),
+                                (3, 3, shape[3], cout), jnp.float32)
+              * 0.05).astype(dtype)
+        bc = jax.random.normal(jax.random.fold_in(key, 2), (cout,), dtype)
+        ref = jax.jit(lambda xx: jax.lax.conv_general_dilated(
+            xx, wc, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dtype) + bc)(xc)
+        out = jax.jit(lambda xx: conv3x3_bias(xx, wc, bc))(xc)
+        diff = float(jnp.max(jnp.abs(
+            ref.astype(jnp.float32) - out.astype(jnp.float32))))
+        record(
+            f"pallas_conv_{shape[1]}x{shape[3]}_{jnp.dtype(dtype).name}",
+            diff <= tol, f"max|pallas-xla|={diff:.3g} (tol {tol})",
+        )
+
     results["total_s"] = round(time.time() - t_start, 1)
     _write(results, ok)
     return 0 if ok else 1
