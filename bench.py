@@ -145,6 +145,9 @@ def step_flops_analytic() -> float:
 def measure(tag: str, dtype_name: str = "bfloat16") -> dict:
     import jax
 
+    from st3d.utils.compilecache import enable_compilation_cache
+
+    enable_compilation_cache()
     t_setup = time.time()
     steps, params, opt_state, n = build_step(dtype_name)
     params, opt_state, losses = steps(params, opt_state)  # compile + warmup

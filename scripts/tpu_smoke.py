@@ -36,6 +36,10 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
+    from st3d.utils.compilecache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     results = {"backend": jax.default_backend(), "checks": {}}
     ok = True
 

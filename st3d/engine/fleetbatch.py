@@ -63,6 +63,7 @@ from st3d.render.renderer import compact_visibility, render_meshes
 from st3d.render.shading import pixel_uvs, shade_compact
 from st3d.utils.assets import resolve_asset
 from st3d.utils.checkpoint import load_checkpoint, save_checkpoint
+from st3d.utils.compilecache import enable_compilation_cache
 from st3d.utils.logging import RunLogger
 
 
@@ -111,6 +112,7 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
     the sequential fleet's layout.
     """
     epochs = epochs if epochs is not None else cfg.epochs
+    enable_compilation_cache()
     os.makedirs(cfg.output_path, exist_ok=True)
     mesh_names = [os.path.splitext(os.path.basename(p))[0] for p in obj_paths]
     style_names = [os.path.splitext(os.path.basename(p))[0]

@@ -63,6 +63,7 @@ from st3d.render.renderer import (
 )
 from st3d.utils.assets import resolve_asset
 from st3d.utils.checkpoint import load_checkpoint, save_checkpoint
+from st3d.utils.compilecache import enable_compilation_cache
 from st3d.utils.logging import RunLogger
 
 
@@ -128,6 +129,7 @@ def _maybe_profile(cfg: PipelineConfig):
 # ---------------------------------------------------------------------------
 
 def run_first_approach(cfg: PipelineConfig) -> Mesh:
+    enable_compilation_cache()
     os.makedirs(cfg.output_path, exist_ok=True)
     os.makedirs(os.path.join(cfg.output_path, "2d_style_transfer"),
                 exist_ok=True)
@@ -362,6 +364,7 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
 # ---------------------------------------------------------------------------
 
 def run_second_approach(cfg: PipelineConfig) -> Mesh:
+    enable_compilation_cache()
     os.makedirs(cfg.output_path, exist_ok=True)
     os.makedirs(os.path.join(cfg.output_path, "current_images"), exist_ok=True)
 

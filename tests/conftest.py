@@ -24,6 +24,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite re-jits the same fused graphs in
+# every process; warm runs skip most of the ~23 min of XLA compiles.
+from st3d.utils.compilecache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
