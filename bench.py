@@ -82,9 +82,11 @@ def build_step(dtype_name: str = "bfloat16"):
 
     def loss_fn(p):
         # NHWC end-to-end: rgba straight from the static shade into VGG.
+        # gram1: conv1_1's Gram comes algebraically from the im2col patches
+        # (the tap is never exported; ST3D_NO_GRAM1 env reverts for A/B).
         rgba = render_rgba_static(apply_params(mesh, p), vis, settings)
         feats = get_features(rgba[..., :3], vgg, dtype=dtype,
-                             layout="NHWC", input_layout="NHWC")
+                             layout="NHWC", input_layout="NHWC", gram1=True)
         return style_content_loss(feats, targets, 1e6, 1.0, layout="NHWC")
 
     n_per_call = 25

@@ -68,22 +68,41 @@ from st3d.utils.logging import RunLogger
 
 
 def _pick_grid(n_dev: int, n_meshes: int, n_styles: int):
-    """Factor ``n_dev`` into (mesh_devices, style_devices) tiling the grid.
+    """Factor ``n_dev`` into (mesh_devices, style_devices) and pick padded
+    grid sizes: returns ``(dm, ds, m_pad, s_pad)`` with ``m_pad`` / ``s_pad``
+    the smallest multiples of ``dm`` / ``ds`` covering the real grid.
 
-    Prefers sharding the style axis (texture params and Gram targets are the
-    big per-style state) and falls back to splitting the mesh axis.
+    Any grid shards over any device count: non-tiling shapes (the flagship
+    4 meshes x 5 styles on 8 devices -> (4, 2, 4, 6)) pad an axis with
+    masked zero-loss cells. The factorization minimizing padded cells wins;
+    ties shard the style axis harder (texture params and Gram targets are
+    the big per-style state).
     """
+    best = None
     for ds in range(n_dev, 0, -1):
         if n_dev % ds:
             continue
         dm = n_dev // ds
-        if n_styles % ds == 0 and n_meshes % dm == 0:
-            return dm, ds
-    raise ValueError(
-        f"fleet grid ({n_meshes} meshes x {n_styles} styles) cannot tile "
-        f"{n_dev} devices: need factors dm*ds={n_dev} with dm|{n_meshes}, "
-        f"ds|{n_styles}"
+        m_pad = -(-n_meshes // dm) * dm
+        s_pad = -(-n_styles // ds) * ds
+        key = (m_pad * s_pad, -ds)
+        if best is None or key < best[0]:
+            best = (key, (dm, ds, m_pad, s_pad))
+    return best[1]
+
+
+def _pad_axis(a: jnp.ndarray, axis: int, size: int) -> jnp.ndarray:
+    """Grow ``axis`` to ``size`` by repeating the first slice (padding cells
+    must rasterize/shade to FINITE values — they are loss-masked, not
+    computed-around, so garbage like zero-area faces would still NaN)."""
+    n = a.shape[axis]
+    if n == size:
+        return a
+    idx = (slice(None),) * axis + (slice(0, 1),)
+    rep = jnp.broadcast_to(
+        a[idx], a.shape[:axis] + (size - n,) + a.shape[axis + 1:]
     )
+    return jnp.concatenate([a, rep], axis=axis)
 
 
 def _load_fleet_meshes(cfg: PipelineConfig,
@@ -120,6 +139,8 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
     n_meshes, n_styles = len(obj_paths), len(style_paths)
     if len(set(mesh_names)) != n_meshes:
         raise ValueError(f"duplicate mesh stems in {mesh_names}")
+    if len(set(style_names)) != n_styles:
+        raise ValueError(f"duplicate style stems in {style_names}")
 
     meshes = _load_fleet_meshes(cfg, obj_paths)
     v_pad = max(m.verts.shape[0] for m in meshes)
@@ -179,7 +200,7 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
             get_features(render_jit(m, batch_cams)[0], vgg,
                          dtype=dtype, layout="NHWC")[CONTENT_LAYER]
             for m in padded
-        ])  # (M, B, C, H, W)
+        ])  # (M, B, H, W, C) — layout="NHWC" taps
         styles = jnp.stack([
             jnp.broadcast_to(
                 load_as_tensor(resolve_asset(p), size)[None],
@@ -205,35 +226,86 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
         jnp.broadcast_to(m.texture[None], (n_styles,) + m.texture.shape)
         for m in padded
     ])  # (M, S, H, W, 3)
+
+    # Padded grid dims (== real dims unless DP needs an axis grown to tile
+    # the device count; padded cells replicate row/col 0 and are loss-masked
+    # to exact zero, so they never influence real cells' trajectories).
+    grid_m, grid_s = n_meshes, n_styles
+    cell_mask = None
+    use_dp = cfg.data_parallel and len(jax.devices()) > 1
+    if use_dp:
+        n_dev = len(jax.devices())
+        dm, ds, grid_m, grid_s = _pick_grid(n_dev, n_meshes, n_styles)
+        if (grid_m, grid_s) != (n_meshes, n_styles):
+            textures = _pad_axis(_pad_axis(textures, 0, grid_m), 1, grid_s)
+            batch_const = [
+                (
+                    # every vis leaf (incl. the nested sampling plan) is
+                    # mesh-major
+                    jax.tree_util.tree_map(
+                        lambda x: _pad_axis(x, 0, grid_m), vis
+                    ),
+                    _pad_axis(cfeat, 0, grid_m),
+                    {l: _pad_axis(g, 0, grid_s) for l, g in grams.items()},
+                )
+                for (vis, cfeat, grams) in batch_const
+            ]
+            verts, faces = (_pad_axis(a, 0, grid_m) for a in (verts, faces))
+            verts_uvs = _pad_axis(verts_uvs, 0, grid_m)
+            faces_uvs = _pad_axis(faces_uvs, 0, grid_m)
+            cell_mask = jnp.zeros((grid_m, grid_s), jnp.float32)
+            cell_mask = cell_mask.at[:n_meshes, :n_styles].set(1.0)
+
     params = {"textures": textures}
     optimizer = optax.adam(cfg.lr)
     opt_state = optimizer.init(params)
 
-    use_dp = cfg.data_parallel and len(jax.devices()) > 1
+    # Checkpoints stay canonical (real grid shape) regardless of how many
+    # devices the writing run padded for: slice on save, re-pad on load.
+    def _slice_grid(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x[:n_meshes, :n_styles]
+            if hasattr(x, "ndim") and x.ndim >= 2
+            and x.shape[:2] == (grid_m, grid_s) else x,
+            tree,
+        )
+
+    def _pad_grid(tree):
+        return jax.tree_util.tree_map(
+            lambda x: _pad_axis(_pad_axis(x, 0, grid_m), 1, grid_s)
+            if hasattr(x, "ndim") and x.ndim >= 2
+            and x.shape[:2] == (n_meshes, n_styles) else x,
+            tree,
+        )
+
     if use_dp:
         from jax.sharding import Mesh as DevMesh, NamedSharding
         from jax.sharding import PartitionSpec as P
 
-        n_dev = len(jax.devices())
-        dm, ds = _pick_grid(n_dev, n_meshes, n_styles)
         dev_mesh = DevMesh(
             np.asarray(jax.devices()).reshape(dm, ds), ("mesh", "style")
         )
         mesh_sh = NamedSharding(dev_mesh, P("mesh"))
         grid_sh = NamedSharding(dev_mesh, P("mesh", "style"))
-        style_sh = NamedSharding(dev_mesh, P(None, "style"))
         repl = NamedSharding(dev_mesh, P())
 
         verts, faces = jax.device_put((verts, faces), mesh_sh)
         verts_uvs, faces_uvs = jax.device_put((verts_uvs, faces_uvs), mesh_sh)
-        params = jax.device_put(params, grid_sh)
-        opt_state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(
-                x, grid_sh if hasattr(x, "ndim") and x.ndim >= 2
-                and x.shape[:2] == (n_meshes, n_styles) else repl
-            ) if hasattr(x, "ndim") else x,
-            opt_state,
-        )
+
+        def _shard_opt(params, opt_state):
+            params = jax.device_put(params, grid_sh)
+            opt_state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(
+                    x, grid_sh if hasattr(x, "ndim") and x.ndim >= 2
+                    and x.shape[:2] == (grid_m, grid_s) else repl
+                ) if hasattr(x, "ndim") else x,
+                opt_state,
+            )
+            return params, opt_state
+
+        params, opt_state = _shard_opt(params, opt_state)
+        if cell_mask is not None:
+            cell_mask = jax.device_put(cell_mask, grid_sh)
         batch_const = [
             (
                 jax.device_put(vis, mesh_sh),
@@ -278,6 +350,10 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
                 _multi_style_content_loss, in_axes=(0, 0, None, None, None)
             )(feats, cfeat, style_grams, cfg.style_weight,
               cfg.content_weight)  # (M, S)
+            if cell_mask is not None:
+                # Padded cells: zero loss => zero grads => Adam leaves their
+                # (duplicate) textures untouched; real cells are unaffected.
+                per_grid = per_grid * cell_mask
             return jnp.sum(per_grid), per_grid
 
         (loss, per_grid), grads = jax.value_and_grad(
@@ -291,13 +367,19 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
     ckpt_path = os.path.join(cfg.output_path, "checkpoint.npz")
     rng = jax.random.PRNGKey(cfg.seed)
     if cfg.resume and os.path.isfile(ckpt_path):
-        start_epoch, params, opt_state, rng = load_checkpoint(
-            ckpt_path, params, opt_state, rng
+        start_epoch, cp_params, cp_opt, rng = load_checkpoint(
+            ckpt_path, _slice_grid(params), _slice_grid(opt_state), rng
         )
+        params, opt_state = _pad_grid(cp_params), _pad_grid(cp_opt)
+        if use_dp:
+            # load_checkpoint returns unsharded host arrays; a resumed DP
+            # run must re-apply the grid sharding or the whole texture grid
+            # materializes replicated/on one device (advisor r2).
+            params, opt_state = _shard_opt(params, opt_state)
 
     for epoch in range(start_epoch, epochs):
         total = 0.0
-        grid_sum = np.zeros((n_meshes, n_styles))
+        grid_sum = np.zeros((grid_m, grid_s))
         for vis, cfeat, grams in batch_const:
             params, opt_state, loss, per_grid = step(
                 params, opt_state, vis, cfeat, grams
@@ -313,7 +395,8 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
             },
         )
         if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
-            save_checkpoint(ckpt_path, epoch + 1, params, opt_state, rng)
+            save_checkpoint(ckpt_path, epoch + 1, _slice_grid(params),
+                            _slice_grid(opt_state), rng)
 
     results: Dict[str, Dict[str, Mesh]] = {}
     fixed12 = build_cameras(

@@ -72,8 +72,14 @@ def _multi_style_content_loss(feats, content_features, style_grams,
     hot-loop layout — Grams run on the MXU's bf16 path with f32
     accumulation); content_features (B, H, W, C) shared; style_grams
     {layer: (S, B, C, C)}. Returns (S,) per-style losses.
+
+    A ``"<layer>:gram"`` key (get_features ``gram1=True``) carries the Gram
+    directly; its divisor height is the image height — conv1_1 is the only
+    such layer and runs at full resolution (content_features are conv4_2,
+    at 1/8 scale).
     """
     cf32 = content_features.astype(jnp.float32)
+    image_h = content_features.shape[-3] * 8
 
     def one_style(feats_s, grams_s):
         content_loss = mse_loss(
@@ -81,9 +87,13 @@ def _multi_style_content_loss(feats, content_features, style_grams,
         )
         style_loss = 0.0
         for layer in STYLE_LAYERS:
-            f = feats_s[layer]
-            c, h = f.shape[3], f.shape[1]
-            g = gram_matrix_nhwc(f)
+            if layer + ":gram" in feats_s:
+                g = feats_s[layer + ":gram"]
+                c, h = g.shape[-1], image_h
+            else:
+                f = feats_s[layer]
+                c, h = f.shape[3], f.shape[1]
+                g = gram_matrix_nhwc(f)
             style_loss = style_loss + jnp.mean(
                 (g - grams_s[layer]) ** 2
             ) / (float(c) ** 2 * float(h) ** 2)  # float: int32 overflow at 768**2

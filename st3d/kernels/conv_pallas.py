@@ -25,6 +25,7 @@ elsewhere (tests pin pallas==XLA equality in interpret mode).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,8 +38,25 @@ from jax.experimental import pallas as pl
 BLOCK_PIXELS_64CH = 8192
 
 
-def _band_rows(h: int, wi: int, cin: int, cout: int, itemsize: int) -> int:
-    budget = max(256, BLOCK_PIXELS_64CH * 64 // max(cin, cout, 64))
+def _tap_group(cin: int) -> int:
+    """Taps contracted per matmul. cin < 128 underfills the MXU's 128-deep
+    contraction: 9 separate K=64 matmuls run the array half-empty. Grouping
+    the taps into one K=9*cin=576 im2col matmul (a VMEM-local concat of the
+    shifted windows) fills K ~90%. cin >= 128 is already full — grouping
+    would only add patch-copy traffic. Env ST3D_CONV_KGROUP={1,3,9} forces a
+    grouping for experiments (3 = one matmul per dy row, K=3*cin)."""
+    env = os.environ.get("ST3D_CONV_KGROUP")
+    if env:
+        return int(env)
+    return 9 if cin < 128 else 1
+
+
+def _band_rows(h: int, wi: int, cin: int, cout: int, itemsize: int,
+               group: int = 1) -> int:
+    # Grouped taps add a (bh*wi, group*cin) patch scratch buffer on top of
+    # the in/out/accumulator blocks; shrink the band accordingly.
+    eff = max(cin, cout, 64) + (group * cin if group > 1 else 0)
+    budget = max(256, BLOCK_PIXELS_64CH * 64 // eff)
     budget = budget * 2 // max(2, itemsize)   # sized for bf16; halve for f32
     bh = max(1, min(h, 16, budget // max(1, wi)))
     while h % bh:
@@ -46,19 +64,36 @@ def _band_rows(h: int, wi: int, cin: int, cout: int, itemsize: int) -> int:
     return bh
 
 
-def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, bh, wi, cin, cout):
+def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, bh, wi, cin, cout, group):
     # x_ref: (1, bh+2, wi+2, cin) halo'd input rows; w_ref: (9*cin, cout)
     # tap-major packed weights; b_ref: (1, cout); o_ref: (1, bh, wi, cout).
     acc = jnp.zeros((bh * wi, cout), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            tap = x_ref[0, dy:dy + bh, dx:dx + wi, :].reshape(
-                bh * wi, cin
-            )
-            wk = w_ref[(dy * 3 + dx) * cin:(dy * 3 + dx + 1) * cin, :]
-            acc = acc + jnp.dot(
-                tap, wk, preferred_element_type=jnp.float32
-            )
+    if group == 9:
+        patches = jnp.concatenate(
+            [x_ref[0, dy:dy + bh, dx:dx + wi, :]
+             for dy in range(3) for dx in range(3)], axis=-1,
+        ).reshape(bh * wi, 9 * cin)
+        acc = acc + jnp.dot(
+            patches, w_ref[...], preferred_element_type=jnp.float32
+        )
+    elif group == 3:
+        for dy in range(3):
+            row = jnp.concatenate(
+                [x_ref[0, dy:dy + bh, dx:dx + wi, :] for dx in range(3)],
+                axis=-1,
+            ).reshape(bh * wi, 3 * cin)
+            wk = w_ref[dy * 3 * cin:(dy + 1) * 3 * cin, :]
+            acc = acc + jnp.dot(row, wk, preferred_element_type=jnp.float32)
+    else:
+        for dy in range(3):
+            for dx in range(3):
+                tap = x_ref[0, dy:dy + bh, dx:dx + wi, :].reshape(
+                    bh * wi, cin
+                )
+                wk = w_ref[(dy * 3 + dx) * cin:(dy * 3 + dx + 1) * cin, :]
+                acc = acc + jnp.dot(
+                    tap, wk, preferred_element_type=jnp.float32
+                )
     acc = acc + b_ref[0].astype(jnp.float32)
     o_ref[0] = acc.astype(o_ref.dtype).reshape(bh, wi, cout)
 
@@ -66,11 +101,13 @@ def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, bh, wi, cin, cout):
 def _conv3x3_same_impl(x, w, b, interpret):
     bsz, h, wi, cin = x.shape
     cout = w.shape[3]
-    bh = _band_rows(h, wi, cin, cout, x.dtype.itemsize)
+    group = _tap_group(cin)
+    bh = _band_rows(h, wi, cin, cout, x.dtype.itemsize, group)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     wf = w.reshape(9 * cin, cout)
     return pl.pallas_call(
-        functools.partial(_conv_kernel, bh=bh, wi=wi, cin=cin, cout=cout),
+        functools.partial(_conv_kernel, bh=bh, wi=wi, cin=cin, cout=cout,
+                          group=group),
         grid=(bsz, h // bh),
         in_specs=[
             # Overlapping row windows (the +-1 halo) need element-offset

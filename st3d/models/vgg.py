@@ -156,20 +156,19 @@ def get_vgg(weights_path: Optional[str] = None) -> VGG19:
 # stages 1-2, 28.6 with all twelve — XLA's conv strategies drown the early
 # stages in layout copies and still leave a few percent on the later ones.
 # Env-overridable for experiments: ST3D_PALLAS_CONVS="1,2,3" (conv
-# indices), "" disables.
-import os as _os
+# indices), "" disables. Read per call (like ST3D_NO_PALLAS_CONV) so both
+# experiment overrides share the same set-any-time semantics (advisor r2).
 
-_env = _os.environ.get("ST3D_PALLAS_CONVS")
-PALLAS_CONVS = (
-    frozenset(int(t) for t in _env.split(",") if t)
-    if _env is not None else frozenset(range(1, 13))
-)
+
+def _pallas_convs() -> frozenset:
+    env = os.environ.get("ST3D_PALLAS_CONVS")
+    if env is None:
+        return frozenset(range(1, 13))
+    return frozenset(int(t) for t in env.split(",") if t)
 
 
 def _pallas_conv_ok(x: jnp.ndarray) -> bool:
     """Gate: real TPU backend, spatial dims the kernel's banding accepts."""
-    import os
-
     if os.environ.get("ST3D_NO_PALLAS_CONV"):
         return False
     if jax.default_backend() != "tpu":
@@ -192,6 +191,7 @@ def get_features(
     dtype: jnp.dtype = jnp.float32,
     layout: str = "NCHW",
     input_layout: str = "NCHW",
+    gram1: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Tap dict for a batch of images, mirroring the reference
     ``get_features(image, model)`` (style_transfer.py:10-27).
@@ -211,7 +211,20 @@ def get_features(
     renderer produces NHWC, so hot loops skip the NCHW round trip entirely
     (profiler: the transpose pair forced a channel-major layout onto the
     frame-assembly scatter, the single most expensive op of the step).
+
+    ``gram1=True`` replaces the conv1_1 tap with its Gram matrix, computed
+    ALGEBRAICALLY from the im2col patches: with A = P·W + 1·bᵀ,
+    G = AᵀA = Wᵀ(PᵀP)W + (Wᵀs)bᵀ + b(Wᵀs)ᵀ + N·bbᵀ where PᵀP is (B, 27, 27)
+    and s = Pᵀ1 — so the full-size (B, H, W, 64) tap is never exported to a
+    second consumer (profiler: the tap's layout fork + the Gram cotangent
+    re-entering the conv chain cost ~10ms/step at 512², PERF_NOTES §2).
+    The returned key is ``"conv1_1:gram"`` ((B, 64, 64) float32); loss
+    consumers use it directly in place of gramming the tap. Same matrix as
+    ``gram_matrix_nhwc(tap)`` up to float reassociation. Disabled by env
+    ``ST3D_NO_GRAM1`` for A/B experiments.
     """
+    if os.environ.get("ST3D_NO_GRAM1"):
+        gram1 = False
     wanted = set(TAP_CONV_INDEX)
     if layers is not None:
         wanted = set(layers.values())
@@ -246,7 +259,24 @@ def get_features(
                 "bhwk,ko->bhwo", patches, w.reshape(27, -1),
                 preferred_element_type=dtype,
             ) + b
-        elif conv_i in PALLAS_CONVS and _pallas_conv_ok(x):
+            if gram1 and "conv1_1" in wanted:
+                # Algebraic Gram from the (already materialized) patches —
+                # see the docstring. Small matrices in f32; the only
+                # pixel-count work is PᵀP ((B,27,27), one MXU pass).
+                ptp = jnp.einsum(
+                    "bhwk,bhwl->bkl", patches, patches,
+                    preferred_element_type=jnp.float32,
+                )
+                s = jnp.sum(patches.astype(jnp.float32), axis=(1, 2))
+                w27 = model.kernels[conv_i].reshape(27, -1).astype(jnp.float32)
+                bf = model.biases[conv_i].astype(jnp.float32)
+                u = s @ w27                                     # (B, 64)
+                g = jnp.einsum("ko,bkl,lp->bop", w27, ptp, w27)
+                g = (g + u[:, :, None] * bf[None, None, :]
+                     + bf[None, :, None] * u[:, None, :]
+                     + float(h * wd) * bf[None, :, None] * bf[None, None, :])
+                feats["conv1_1:gram"] = g
+        elif conv_i in _pallas_convs() and _pallas_conv_ok(x):
             # Stage-1/2 convs (64-128 ch at large spatial): XLA's conv
             # strategy drowns these in layout copies; the Pallas kernel
             # keeps a row band in VMEM and writes the output once
@@ -267,7 +297,9 @@ def get_features(
                 preferred_element_type=dtype,
             ) + b
         if conv_i in name_by_conv and name_by_conv[conv_i] in wanted:
-            if layout == "NHWC":
+            if gram1 and conv_i == 0:
+                pass  # exported above as "conv1_1:gram" instead of the tap
+            elif layout == "NHWC":
                 feats[name_by_conv[conv_i]] = x
             else:
                 feats[name_by_conv[conv_i]] = jnp.transpose(

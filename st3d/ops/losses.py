@@ -122,11 +122,21 @@ def style_content_loss(
     content_loss = mse_loss(cur, tgt)
     style_loss = 0.0
     for layer in STYLE_LAYERS:
-        feat = current_features[layer]
-        if layout == "NHWC":
+        if layer + ":gram" in current_features:
+            # Gram computed inside get_features (gram1=True: the conv1_1
+            # Gram comes algebraically from the im2col patches, the tap is
+            # never exported). Divisor dims from the target feature shape —
+            # targets are extracted at the same resolution.
+            g = current_features[layer + ":gram"]
+            shape = targets.feature_shapes[layer]
+            c, h = ((shape[3], shape[1]) if layout == "NHWC"
+                    else (shape[1], shape[2]))
+        elif layout == "NHWC":
+            feat = current_features[layer]
             c, h = feat.shape[3], feat.shape[1]
             g = gram_matrix_nhwc(feat)
         else:
+            feat = current_features[layer]
             c, h = feat.shape[1], feat.shape[2]
             g = gram_matrix(feat)
         layer_loss = jnp.mean((g - targets.style_grams[layer]) ** 2)

@@ -67,6 +67,13 @@ class RasterizationSettings:
     # blur_radius=0) structurally lacks. soft_sigma_px is in pixel units.
     soft: bool = struct.field(pytree_node=False, default=False)
     soft_sigma_px: float = struct.field(pytree_node=False, default=1.0)
+    # Extra top-K selection slots absorbing proxy-admitted candidates that
+    # the exact distance filter later rejects (hard blur/K>1 path only; see
+    # topk.rasterize_hard_k). Selection is exact unless more than this many
+    # proxy-only candidates precede a true candidate in depth order — the
+    # HardKFragments.saturated diagnostic counts at-risk pixels; raise the
+    # slack if it reports nonzero.
+    hard_k_slack: int = struct.field(pytree_node=False, default=4)
 
 
 @struct.dataclass

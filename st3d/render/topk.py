@@ -257,12 +257,18 @@ class HardKFragments:
     dists:       (N, H, W, K) signed SQUARED NDC distance of the pixel to
                  the face boundary, PyTorch3D sign convention (negative
                  inside, positive outside; -1 empty).
+    saturated:   (N,) int32 count of AT-RISK pixels: every selection slot
+                 (K + slack) was filled AND at least one was rejected by the
+                 exact filter — a true candidate MAY have been evicted
+                 there. 0 => the output is provably exact. Re-rasterize with
+                 a larger ``settings.hard_k_slack`` when nonzero.
     """
 
     pix_to_face: jnp.ndarray
     zbuf: jnp.ndarray
     bary: jnp.ndarray
     dists: jnp.ndarray
+    saturated: jnp.ndarray = None
 
 
 def blur_window_px(blur_radius: float, image_size: int) -> float:
@@ -299,7 +305,7 @@ def rasterize_hard_k(face_verts: jnp.ndarray, settings) -> HardKFragments:
     # (exact sd == 0) are admitted at blur == 0; exact filter below. Slack
     # slots absorb proxy-only candidates that the exact filter removes.
     win_eff = max(window, 1e-3)
-    slack = 4 if (blur > 0.0 or k > 1) else 0
+    slack = settings.hard_k_slack if (blur > 0.0 or k > 1) else 0
     kk = k + slack
     if backend == "pallas":
         from st3d.kernels.raster_pallas import rasterize_pallas_topk
@@ -340,6 +346,12 @@ def rasterize_hard_k(face_verts: jnp.ndarray, settings) -> HardKFragments:
 
         # Exact admission: covers the pixel, or within the blur window.
         keep = valid & ((sd_px >= 0.0) | (dists < blur))
+        # A pixel is AT RISK of a missed candidate iff the selection was
+        # saturated (every K+slack slot valid) and the exact filter removed
+        # at least one slot — an evicted (slack+1)-th proxy-only candidate
+        # could have hidden a true one behind it.
+        risky = jnp.all(valid, axis=-1) & jnp.any(valid & ~keep, axis=-1)
+        n_risky = jnp.sum(risky.astype(jnp.int32))
         # Compact surviving slots near-to-far, drop the slack tail.
         order = jnp.argsort(~keep, axis=-1, stable=True)
         take = lambda a: jnp.take_along_axis(a, order, axis=-1)[..., :k]
@@ -351,9 +363,10 @@ def rasterize_hard_k(face_verts: jnp.ndarray, settings) -> HardKFragments:
             bary, order[..., None], axis=-2
         )[..., :k, :]
         bary = jnp.where(keep_c[..., None], bary, -1.0)
-        return ids_out, zbuf, bary, dists_c
+        return ids_out, zbuf, bary, dists_c, n_risky
 
-    ids_o, zbuf, bary, dists = jax.vmap(epilogue)(face_verts, ids)
+    ids_o, zbuf, bary, dists, n_risky = jax.vmap(epilogue)(face_verts, ids)
     return HardKFragments(
-        pix_to_face=ids_o, zbuf=zbuf, bary=bary, dists=dists
+        pix_to_face=ids_o, zbuf=zbuf, bary=bary, dists=dists,
+        saturated=n_risky,
     )

@@ -58,6 +58,30 @@ def test_input_gradient_matches_xla():
     assert float(jnp.abs(g_pal).max()) > 0
 
 
+@pytest.mark.parametrize("group", [1, 3, 9])
+@pytest.mark.parametrize("cin", [64, 128])
+def test_tap_groupings_match_xla(monkeypatch, group, cin):
+    """All K-groupings (9 separate taps / per-dy K=3cin / full im2col
+    K=9cin) are the same conv; forward AND input-grad equality."""
+    monkeypatch.setenv("ST3D_CONV_KGROUP", str(group))
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (1, 16, 24, cin), jnp.float32)
+    w = jax.random.normal(
+        jax.random.fold_in(key, 1), (3, 3, cin, 32), jnp.float32
+    ) * 0.05
+    b = jax.random.normal(jax.random.fold_in(key, 2), (32,), jnp.float32)
+    out = jax.jit(lambda xx: conv3x3_bias(xx, w, b, True))(x)
+    ref = jax.jit(lambda xx: _xla_conv(xx, w, b))(x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+    g_pal = jax.grad(lambda xx: jnp.sum(conv3x3_bias(xx, w, b, True) ** 2))(x)
+    g_ref = jax.grad(lambda xx: jnp.sum(_xla_conv(xx, w, b) ** 2))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_pal), np.asarray(g_ref), atol=1e-4, rtol=1e-4
+    )
+
+
 def test_get_features_gate_off_cpu():
     """On the CPU backend get_features must take the XLA conv path (the
     Pallas gate requires a real TPU)."""

@@ -28,12 +28,16 @@ def _cfg(tmp_path, out, **kw):
 
 
 def test_pick_grid():
-    assert _pick_grid(8, 2, 4) == (2, 4)
-    assert _pick_grid(8, 4, 2) == (4, 2)
-    assert _pick_grid(8, 8, 5) == (8, 1)
-    assert _pick_grid(1, 3, 5) == (1, 1)
-    with pytest.raises(ValueError, match="cannot tile"):
-        _pick_grid(8, 3, 3)
+    # Exact tilings pad nothing.
+    assert _pick_grid(8, 2, 4) == (2, 4, 2, 4)
+    assert _pick_grid(8, 4, 2) == (4, 2, 4, 2)
+    assert _pick_grid(8, 8, 5) == (8, 1, 8, 5)
+    assert _pick_grid(1, 3, 5) == (1, 1, 3, 5)
+    # Non-tiling grids pad the cheapest axis with masked cells instead of
+    # raising (VERDICT r2 item 2): the flagship config-5 grid shards.
+    assert _pick_grid(8, 4, 5) == (4, 2, 4, 6)
+    assert _pick_grid(8, 3, 3) == (2, 4, 4, 4)
+    assert _pick_grid(8, 1, 1) == (1, 8, 1, 8)
 
 
 @pytest.mark.skipif(not HAVE, reason="reference assets absent")
@@ -93,7 +97,49 @@ def test_batched_grid_sharded(tmp_path):
 
 
 @pytest.mark.skipif(not HAVE, reason="reference assets absent")
-def test_batched_bad_grid_raises(tmp_path):
-    cfg = _cfg(tmp_path, "bad", data_parallel=True)
-    with pytest.raises(ValueError, match="cannot tile"):
+def test_duplicate_stems_raise(tmp_path):
+    cfg = _cfg(tmp_path, "bad")
+    with pytest.raises(ValueError, match="duplicate style stems"):
         run_fleet_batched(cfg, OBJS, [f"{REF}/imgs/Style_1.jpg"] * 3)
+    with pytest.raises(ValueError, match="duplicate mesh stems"):
+        run_fleet_batched(cfg, [OBJS[0]] * 2, STYLES2)
+
+
+@pytest.mark.skipif(not HAVE, reason="reference assets absent")
+def test_flagship_grid_padded_dp(tmp_path):
+    """BASELINE config 5 shape: 4 meshes x 5 styles on 8 devices (pads the
+    style axis 5 -> 6 with masked cells). DP must match single-device
+    exactly on every REAL cell."""
+    import shutil
+
+    objs = OBJS + [f"{REF}/objects/bob_mesh/bob.obj"]
+    cow2 = str(tmp_path / "cow2.obj")
+    shutil.copy(f"{REF}/objects/cow_mesh/cow.obj", cow2)
+    # cow.obj references cow.mtl/texture relatively; keep them resolvable.
+    for aux in ("cow.mtl", "cow_texture.png"):
+        src = f"{REF}/objects/cow_mesh/{aux}"
+        if os.path.isfile(src):
+            shutil.copy(src, str(tmp_path / aux))
+    styles5 = [f"{REF}/imgs/Style_1.jpg", f"{REF}/imgs/Style_5.png",
+               f"{REF}/imgs/Style_3.png", f"{REF}/imgs/Style_4.jpeg"]
+    s2 = str(tmp_path / "Style_2sub.jpg")
+    shutil.copy(styles5[0], s2)
+    styles5.append(s2)
+
+    r_dp = run_fleet_batched(
+        _cfg(tmp_path, "dp5", data_parallel=True),
+        objs + [cow2], styles5, epochs=1,
+    )
+    r_sd = run_fleet_batched(
+        _cfg(tmp_path, "sd5", data_parallel=False),
+        objs + [cow2], styles5, epochs=1,
+    )
+    assert set(r_dp) == {"cow", "teapot", "bob", "cow2"}
+    for stem in r_sd:
+        assert set(r_dp[stem]) == set(r_sd[stem])
+        for style in r_sd[stem]:
+            np.testing.assert_allclose(
+                np.asarray(r_dp[stem][style].texture),
+                np.asarray(r_sd[stem][style].texture),
+                atol=1e-5, err_msg=f"{stem}/{style}",
+            )

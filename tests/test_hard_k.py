@@ -183,3 +183,49 @@ def test_hard_k_zbuf_and_bary(scene):
     np.testing.assert_allclose(z_k[cov], z_hard[cov], rtol=1e-5)
     bary = np.asarray(got.bary[0, ..., 0, :])
     np.testing.assert_allclose(bary[cov].sum(-1), 1.0, atol=1e-5)
+
+
+def _eviction_scene(n_slivers=7, size=32):
+    """Adversarial slack scene: a covering triangle at z=5 behind
+    ``n_slivers`` thin slivers whose tips sit DIAGONALLY 3.2px from the
+    probe pixel (16,16). For each sliver the proxy distance (min of
+    edge-line and bbox distances, rasterize._pixel_depth_and_cover) is
+    ~-3.2px — inside a 4px admission window — while the EXACT segment
+    distance is sqrt(2)*3.2 = 4.5px, outside the blur radius: all are
+    proxy-admitted, exact-rejected, and nearer in depth than the true
+    covering face."""
+    faces = [[[4.0, 4.0, 5.0], [28.0, 4.0, 5.0], [16.0, 28.0, 5.0]]]
+    for i in range(n_slivers):
+        j = 0.02 * i
+        tx, ty, z = 19.2 + j, 19.2 - j, 1.0 + 0.05 * i
+        faces.append([
+            [tx, ty, z], [tx + 8.8, ty + 8.4, z], [tx + 8.4, ty + 8.8, z],
+        ])
+    return jnp.asarray(np.array(faces, np.float32))
+
+
+@pytest.mark.parametrize("backend", ["bruteforce", "xla"])
+def test_adversarial_slack_eviction_is_loud(backend):
+    """>slack proxy-only candidates ahead of a true candidate (VERDICT r2
+    item 7): the default slack misses the covering face at the probe pixel
+    but REPORTS it via HardKFragments.saturated; raising
+    settings.hard_k_slack restores exactness and zeroes the diagnostic."""
+    size = 32
+    blur = (4.0 / (size / 2.0)) ** 2          # 4px admission window
+    fv = _eviction_scene()[None]
+    settings = RasterizationSettings(
+        image_size=size, blur_radius=blur, faces_per_pixel=1,
+        backend=backend,
+    )
+
+    frags = rasterize_hard_k(fv, settings)    # default hard_k_slack=4
+    assert int(frags.pix_to_face[0, 16, 16, 0]) == -1   # true face evicted
+    assert int(frags.saturated[0]) > 0                  # ...and reported
+
+    frags_ok = rasterize_hard_k(fv, settings.replace(hard_k_slack=8))
+    assert int(frags_ok.saturated[0]) == 0              # provably exact
+    assert int(frags_ok.pix_to_face[0, 16, 16, 0]) == 0
+    want = _oracle_hard_k(fv[0], size, 1, blur)
+    np.testing.assert_array_equal(
+        np.asarray(frags_ok.pix_to_face[0]), want
+    )

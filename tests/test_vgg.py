@@ -128,3 +128,78 @@ def test_npz_roundtrip(tmp_path):
     a = get_features(img, model)["conv5_1"]
     b = get_features(img, loaded)["conv5_1"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_algebraic_gram1_matches_tap_gram():
+    """gram1=True: the algebraic conv1_1 Gram (from im2col patches) equals
+    gramming the exported tap — values AND input gradients."""
+    import jax
+
+    from st3d.ops.losses import gram_matrix_nhwc
+
+    model = init_random_vgg19(0)
+    key = jnp.asarray(np.random.RandomState(5).rand(2, 3, 32, 32), jnp.float32)
+
+    feats_ref = get_features(key, model)
+    g_ref = gram_matrix_nhwc(
+        jnp.transpose(feats_ref["conv1_1"], (0, 2, 3, 1))
+    )
+    feats_alg = get_features(key, model, gram1=True)
+    assert "conv1_1" not in feats_alg
+    g_alg = feats_alg["conv1_1:gram"]
+    np.testing.assert_allclose(
+        np.asarray(g_alg), np.asarray(g_ref), rtol=2e-4, atol=1e-3
+    )
+
+    # Gradient of a gram-consuming scalar w.r.t. the input images.
+    tgt = jnp.asarray(np.random.RandomState(6).rand(*g_ref.shape), jnp.float32)
+
+    def loss_tap(imgs):
+        f = get_features(imgs, model)
+        g = gram_matrix_nhwc(jnp.transpose(f["conv1_1"], (0, 2, 3, 1)))
+        return jnp.mean((g - tgt) ** 2)
+
+    def loss_alg(imgs):
+        f = get_features(imgs, model, gram1=True)
+        return jnp.mean((f["conv1_1:gram"] - tgt) ** 2)
+
+    gt = jax.grad(loss_tap)(key)
+    ga = jax.grad(loss_alg)(key)
+    np.testing.assert_allclose(
+        np.asarray(ga), np.asarray(gt), rtol=2e-3, atol=1e-5
+    )
+
+
+def test_style_content_loss_gram1_path():
+    """Full loss equality: style_content_loss on gram1 features equals the
+    tap-gram path (both layouts' target shapes feed the same divisor)."""
+    import jax
+
+    from st3d.ops.losses import StyleContentTargets, style_content_loss
+
+    model = init_random_vgg19(0)
+    rs = np.random.RandomState(7)
+    content = jnp.asarray(rs.rand(2, 3, 32, 32), jnp.float32)
+    style = jnp.asarray(rs.rand(2, 3, 32, 32), jnp.float32)
+    cur_nhwc = jnp.asarray(rs.rand(2, 32, 32, 3), jnp.float32)
+
+    targets = StyleContentTargets.create(content, style, model, layout="NHWC")
+
+    def loss(gram1):
+        feats = get_features(cur_nhwc, model, layout="NHWC",
+                             input_layout="NHWC", gram1=gram1)
+        return style_content_loss(feats, targets, 1e6, 1.0, layout="NHWC")
+
+    l_ref, l_alg = float(loss(False)), float(loss(True))
+    np.testing.assert_allclose(l_alg, l_ref, rtol=1e-5)
+
+    g_ref = jax.grad(lambda x: style_content_loss(
+        get_features(x, model, layout="NHWC", input_layout="NHWC"),
+        targets, 1e6, 1.0, layout="NHWC"))(cur_nhwc)
+    g_alg = jax.grad(lambda x: style_content_loss(
+        get_features(x, model, layout="NHWC", input_layout="NHWC",
+                     gram1=True),
+        targets, 1e6, 1.0, layout="NHWC"))(cur_nhwc)
+    np.testing.assert_allclose(
+        np.asarray(g_alg), np.asarray(g_ref), rtol=2e-3, atol=3e-5
+    )
