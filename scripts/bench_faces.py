@@ -24,6 +24,10 @@ def main() -> int:
     import jax
     import numpy as np
 
+    from st3d.utils.compilecache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from conftest import make_ico_sphere
     from st3d.core.cameras import build_fixed_cameras
     from st3d.kernels.raster_pallas import rasterize_pallas_batched

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Profile the bench step on TPU and print per-HLO-op times.
+
+Method (docs/PERF_NOTES.md "How to profile"): jax.profiler.trace around 2
+scan calls, parse the xplane with xprof's hlo_stats converter, divide by
+50 steps (2 calls x 25 scanned). The `while` row wraps the whole scan —
+excluded from the category sums.
+
+Usage: python scripts/perf_trace.py [out.json]
+"""
+
+import glob
+import json
+import os
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    import jax
+
+    import bench
+
+    assert jax.default_backend() == "tpu", "profile on the TPU backend"
+    steps, params, opt_state, n = bench.build_step("bfloat16")
+    params, opt_state, losses = steps(params, opt_state)  # compile+warm
+    losses.block_until_ready()
+
+    tmp = tempfile.mkdtemp(prefix="st3d_trace_")
+    with jax.profiler.trace(tmp):
+        for _ in range(2):
+            params, opt_state, losses = steps(params, opt_state)
+        losses.block_until_ready()
+
+    xplanes = glob.glob(os.path.join(tmp, "**", "*.xplane.pb"),
+                        recursive=True)
+    assert xplanes, f"no xplane under {tmp}"
+    from xprof.convert.raw_to_tool_data import xspace_to_tool_data
+
+    data, _ = xspace_to_tool_data([xplanes[0]], "hlo_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    rows = json.loads(data)
+    # hlo_stats gtable: first entry describes columns; find total-time col.
+    cols = [c["label"] for c in rows["cols"]]
+    out = []
+    for r in rows["rows"]:
+        vals = [c.get("v") for c in r["c"]]
+        rec = dict(zip(cols, vals))
+        out.append(rec)
+
+    # Column names as of xprof 2.x: 'HLO op text'/'Total time (us)' vary;
+    # dump whatever is there, sorted by the first numeric 'time' column.
+    tcol = next((c for c in cols if "time" in c.lower()
+                 and "%" not in c), None)
+    ncol = next((c for c in cols if "name" in c.lower()
+                 or "expression" in c.lower()), cols[0])
+    ccol = next((c for c in cols if "categor" in c.lower()), None)
+    out.sort(key=lambda r: -(r.get(tcol) or 0))
+    n_steps = 2 * n
+    print(f"# per-step times (total/{n_steps}); columns: {cols}",
+          file=sys.stderr)
+    cat_sum = {}
+    for r in out[:40]:
+        t_us = (r.get(tcol) or 0) / n_steps
+        name = str(r.get(ncol))[:110]
+        cat = str(r.get(ccol)) if ccol else "?"
+        if "while" not in name:
+            cat_sum[cat] = cat_sum.get(cat, 0.0) + t_us
+        print(f"{t_us:10.1f} us  {cat:24s} {name}")
+    print("--- category sums (top-40 rows, while excluded) ---")
+    for k, v in sorted(cat_sum.items(), key=lambda kv: -kv[1]):
+        print(f"{v:10.1f} us  {k}")
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as f:
+            json.dump(out, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -70,6 +70,7 @@ class PipelineConfig:
     debug_nan: bool = False            # checkify NaN/Inf guard on the step
     compute_dtype: str = "float32"        # float32 | bfloat16 (VGG compute)
     data_parallel: bool = False           # shard views across devices
+    tile_parallel: bool = False           # shard render ROWS across devices
 
     def loss_weights(self) -> Dict[str, float]:
         return {
@@ -131,6 +132,9 @@ def _add_shared(p: argparse.ArgumentParser) -> None:
     p.add_argument("--compute_dtype", default="float32", type=str,
                    choices=["float32", "bfloat16"])
     p.add_argument("--data_parallel", default=False, type=_str2bool)
+    p.add_argument("--tile_parallel", default=False, type=_str2bool,
+                   help="shard render pixel rows across devices (10242+ "
+                   "frames; st3d.parallel.tiles)")
 
 
 def parse_first_approach(argv=None) -> PipelineConfig:

@@ -340,7 +340,7 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
             s = imgs.shape[1]
             feats = get_features(
                 imgs.reshape(m * s * b, size, size, 3), vgg, dtype=dtype,
-                layout="NHWC", input_layout="NHWC",
+                layout="NHWC", input_layout="NHWC", gram1=True,
             )
             feats = {
                 k: v.reshape((m, s, b) + v.shape[1:])
@@ -413,7 +413,8 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
             )
             out_dir = os.path.join(cfg.output_path, mesh_name, style_name)
             save_render(final, fixed12, settings,
-                        os.path.join(out_dir, "final_render"))
+                        os.path.join(out_dir, "final_render"),
+                        tile_parallel=cfg.tile_parallel)
             save_mesh(final, os.path.join(out_dir, "final.obj"))
             results[mesh_name][style_name] = final
     logger.close()

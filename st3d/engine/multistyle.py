@@ -89,7 +89,8 @@ def _multi_style_content_loss(feats, content_features, style_grams,
         for layer in STYLE_LAYERS:
             if layer + ":gram" in feats_s:
                 g = feats_s[layer + ":gram"]
-                c, h = g.shape[-1], image_h
+                scale = {"conv1_1": 1, "conv2_1": 2}[layer]
+                c, h = g.shape[-1], image_h // scale
             else:
                 f = feats_s[layer]
                 c, h = f.shape[3], f.shape[1]
@@ -218,6 +219,7 @@ def run_multistyle(cfg: PipelineConfig, style_paths: Sequence[str],
             feats = get_features(
                 imgs.reshape(s * b, cfg.size, cfg.size, 3), vgg,
                 dtype=dtype, layout="NHWC", input_layout="NHWC",
+                gram1=True,
             )
             feats = {
                 k: v.reshape((s, b) + v.shape[1:]) for k, v in feats.items()
@@ -268,7 +270,8 @@ def run_multistyle(cfg: PipelineConfig, style_paths: Sequence[str],
         final = finalize_mesh(mesh.replace(texture=params["textures"][s]))
         out_dir = os.path.join(cfg.output_path, name)
         save_render(final, fixed12, settings,
-                    os.path.join(out_dir, "final_render"))
+                    os.path.join(out_dir, "final_render"),
+                    tile_parallel=cfg.tile_parallel)
         save_mesh(final, os.path.join(out_dir, "final.obj"))
         results[name] = final
     logger.close()

@@ -104,12 +104,25 @@ def _load_style(cfg: PipelineConfig, batch: int) -> jnp.ndarray:
     return jnp.broadcast_to(style[None], (batch,) + style.shape)
 
 
-def save_render(mesh: Mesh, cameras, settings, path: str) -> None:
-    """Render every camera and save view_{i}.png (reference utils.py:81-91)."""
+def save_render(mesh: Mesh, cameras, settings, path: str,
+                tile_parallel: bool = False) -> None:
+    """Render every camera and save view_{i}.png (reference utils.py:81-91).
+
+    ``tile_parallel=True`` (CLI ``--tile_parallel``) shards pixel ROWS of
+    each render across the device mesh (st3d.parallel.tiles) — the
+    high-resolution path where a 1024²+ frame is bigger than a view batch.
+    Output is bit-identical to the single-device render."""
     os.makedirs(path, exist_ok=True)
-    imgs, _ = jax.jit(
-        lambda m, c: render_meshes(m, c, settings)
-    )(mesh, cameras)
+    if tile_parallel and len(jax.devices()) > 1:
+        from st3d.parallel.tiles import render_meshes_tiled
+
+        imgs, _ = jax.jit(
+            lambda m, c: render_meshes_tiled(m, c, settings)
+        )(mesh, cameras)
+    else:
+        imgs, _ = jax.jit(
+            lambda m, c: render_meshes(m, c, settings)
+        )(mesh, cameras)
     arr = np.asarray(imgs)
     for i in range(arr.shape[0]):
         save_image(arr[i], os.path.join(path, f"view_{i}.png"), async_=True)
@@ -352,7 +365,8 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
     stop_profile()
     final = finalize_mesh(apply_params(content_mesh, params))
     save_render(final, build_fixed_cameras(12, seed=cfg.seed), settings,
-                os.path.join(cfg.output_path, "final_render"))
+                os.path.join(cfg.output_path, "final_render"),
+                tile_parallel=cfg.tile_parallel)
     save_mesh(final, os.path.join(cfg.output_path, "final.obj"))
     flush_images()
     logger.close()
@@ -475,7 +489,8 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
                     content_b, vgg, dtype=dtype, layout="NHWC"
                 )[CONTENT_LAYER]
                 tgt = tgt.replace(content_features=cf)
-            cur_feats = get_features(cur, vgg, dtype=dtype, layout="NHWC")
+            cur_feats = get_features(cur, vgg, dtype=dtype,
+                                     layout="NHWC", gram1=True)
             main = style_content_loss(
                 cur_feats, tgt, cfg.style_weight, cfg.content_weight,
                 layout="NHWC",
@@ -515,7 +530,8 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
                     jnp.transpose(style_b, (0, 2, 3, 1)), r1
                 )
                 cur_feats = get_features(cur, vgg, dtype=dtype,
-                                         layout="NHWC", input_layout="NHWC")
+                                         layout="NHWC",
+                                         input_layout="NHWC", gram1=True)
                 cur = jnp.transpose(cur, (0, 3, 1, 2))  # aux stays NCHW
             else:
                 cur_imgs, cur_masks = render_meshes(mesh, cams_b, settings)
@@ -523,7 +539,7 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
                     cur_imgs, cur_masks, cfg.current_background, style_b, r1
                 )
                 cur_feats = get_features(cur, vgg, dtype=dtype,
-                                         layout="NHWC")
+                                         layout="NHWC", gram1=True)
             tg = targets
             if content_noise:
                 content_b = apply_background(
@@ -675,7 +691,8 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
     stop_profile()
     final = finalize_mesh(apply_params(content_mesh, params))
     save_render(final, build_fixed_cameras(12, seed=cfg.seed), settings,
-                os.path.join(cfg.output_path, "final_render"))
+                os.path.join(cfg.output_path, "final_render"),
+                tile_parallel=cfg.tile_parallel)
     save_mesh(final, os.path.join(cfg.output_path, "final.obj"))
     flush_images()
     logger.close()

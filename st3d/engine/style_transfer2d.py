@@ -33,7 +33,11 @@ def _scan_steps(imgs, opt_state, targets, model, style_weight,
     opt = optax.adam(lr)
 
     def loss_fn(x):
-        feats = get_features(x, model, dtype=dtype, layout="NHWC")
+        # gram1: the conv1_1 Gram comes algebraically from the im2col
+        # patches (same matrix up to float reassociation; trajectory parity
+        # vs the torch replica holds — tests/test_torch_parity.py).
+        feats = get_features(x, model, dtype=dtype, layout="NHWC",
+                             gram1=True)
         return style_content_loss(
             feats, targets, style_weight, content_weight, layout="NHWC"
         )

@@ -39,16 +39,18 @@ BLOCK_PIXELS_64CH = 8192
 
 
 def _tap_group(cin: int) -> int:
-    """Taps contracted per matmul. cin < 128 underfills the MXU's 128-deep
-    contraction: 9 separate K=64 matmuls run the array half-empty. Grouping
-    the taps into one K=9*cin=576 im2col matmul (a VMEM-local concat of the
-    shifted windows) fills K ~90%. cin >= 128 is already full — grouping
-    would only add patch-copy traffic. Env ST3D_CONV_KGROUP={1,3,9} forces a
-    grouping for experiments (3 = one matmul per dy row, K=3*cin)."""
+    """Taps contracted per matmul (env ST3D_CONV_KGROUP={1,3,9}; 9 = one
+    K=9*cin im2col matmul staged through VMEM scratch, 3 = per-dy K=3*cin).
+
+    MEASURED (round 3, 512² bench, bf16): grouping LOSES — gram1-only
+    31.07 it/s vs kgroup9 30.02 vs kgroup3 28.77. The patch-staging
+    stores/loads cost more than the MXU K-fill buys at cin=64 (the 9-tap
+    form reads each window once and feeds the MXU directly). Default stays
+    1; the grouped paths remain for experiments."""
     env = os.environ.get("ST3D_CONV_KGROUP")
     if env:
         return int(env)
-    return 9 if cin < 128 else 1
+    return 1
 
 
 def _band_rows(h: int, wi: int, cin: int, cout: int, itemsize: int,
@@ -64,26 +66,35 @@ def _band_rows(h: int, wi: int, cin: int, cout: int, itemsize: int,
     return bh
 
 
-def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, bh, wi, cin, cout, group):
+def _conv_kernel(x_ref, w_ref, b_ref, o_ref, patch_ref=None, *, bh, wi,
+                 cin, cout, group):
     # x_ref: (1, bh+2, wi+2, cin) halo'd input rows; w_ref: (9*cin, cout)
     # tap-major packed weights; b_ref: (1, cout); o_ref: (1, bh, wi, cout).
+    # patch_ref (group > 1): (bh*wi, group*cin) VMEM scratch — the shifted
+    # windows have mismatched sublane/lane offsets, so they are STORED into
+    # the scratch (memory ops relayout) instead of vector-concatenated
+    # (Mosaic rejects tpu.concatenate of offset-mismatched vectors).
     acc = jnp.zeros((bh * wi, cout), jnp.float32)
     if group == 9:
-        patches = jnp.concatenate(
-            [x_ref[0, dy:dy + bh, dx:dx + wi, :]
-             for dy in range(3) for dx in range(3)], axis=-1,
-        ).reshape(bh * wi, 9 * cin)
+        for dy in range(3):
+            for dx in range(3):
+                k = dy * 3 + dx
+                patch_ref[:, k * cin:(k + 1) * cin] = x_ref[
+                    0, dy:dy + bh, dx:dx + wi, :
+                ].reshape(bh * wi, cin)
         acc = acc + jnp.dot(
-            patches, w_ref[...], preferred_element_type=jnp.float32
+            patch_ref[...], w_ref[...], preferred_element_type=jnp.float32
         )
     elif group == 3:
         for dy in range(3):
-            row = jnp.concatenate(
-                [x_ref[0, dy:dy + bh, dx:dx + wi, :] for dx in range(3)],
-                axis=-1,
-            ).reshape(bh * wi, 3 * cin)
+            for dx in range(3):
+                patch_ref[:, dx * cin:(dx + 1) * cin] = x_ref[
+                    0, dy:dy + bh, dx:dx + wi, :
+                ].reshape(bh * wi, cin)
             wk = w_ref[dy * 3 * cin:(dy + 1) * 3 * cin, :]
-            acc = acc + jnp.dot(row, wk, preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(
+                patch_ref[...], wk, preferred_element_type=jnp.float32
+            )
     else:
         for dy in range(3):
             for dx in range(3):
@@ -105,10 +116,16 @@ def _conv3x3_same_impl(x, w, b, interpret):
     bh = _band_rows(h, wi, cin, cout, x.dtype.itemsize, group)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     wf = w.reshape(9 * cin, cout)
+    scratch = []
+    if group > 1:
+        from jax.experimental.pallas import tpu as pltpu
+
+        scratch = [pltpu.VMEM((bh * wi, group * cin), x.dtype)]
     return pl.pallas_call(
         functools.partial(_conv_kernel, bh=bh, wi=wi, cin=cin, cout=cout,
                           group=group),
         grid=(bsz, h // bh),
+        scratch_shapes=scratch,
         in_specs=[
             # Overlapping row windows (the +-1 halo) need element-offset
             # indexing; Mosaic requires every dim of the spec to use it.
@@ -149,3 +166,102 @@ def _bwd(interpret, res, ct):
 
 
 conv3x3_bias.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused conv + Gram (conv2_1): emit the pre-ReLU tap's Gram from VMEM
+# ---------------------------------------------------------------------------
+
+def _conv_gram_kernel(x_ref, w_ref, b_ref, o_ref, g_ref, *, bh, wi, cin,
+                      cout, group):
+    """_conv_kernel plus a per-view Gram accumulator: g[b] += y_bandᵀ·y_band
+    across the row-band grid steps (the g block revisits (bi, 0, 0) every
+    hi, so accumulation is sequential). The Gram is computed from the
+    OUTPUT-dtype band (bf16 in production) with f32 accumulation — the same
+    numbers gram_matrix_nhwc produces from the exported tap, without ever
+    exporting it (the tap's second consumer forked its layout and re-entered
+    the conv chain with a full-size cotangent; PERF_NOTES §2)."""
+    acc = jnp.zeros((bh * wi, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            tap = x_ref[0, dy:dy + bh, dx:dx + wi, :].reshape(bh * wi, cin)
+            wk = w_ref[(dy * 3 + dx) * cin:(dy * 3 + dx + 1) * cin, :]
+            acc = acc + jnp.dot(tap, wk, preferred_element_type=jnp.float32)
+    acc = acc + b_ref[0].astype(jnp.float32)
+    y = acc.astype(o_ref.dtype)
+    o_ref[0] = y.reshape(bh, wi, cout)
+    partial = jnp.dot(y.T, y, preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        g_ref[0] = partial
+
+    @pl.when(pl.program_id(1) != 0)
+    def _acc():
+        g_ref[0] += partial
+
+
+def _conv_gram_impl(x, w, b, interpret):
+    bsz, h, wi, cin = x.shape
+    cout = w.shape[3]
+    bh = _band_rows(h, wi, cin, cout, x.dtype.itemsize)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wf = w.reshape(9 * cin, cout)
+    return pl.pallas_call(
+        functools.partial(_conv_gram_kernel, bh=bh, wi=wi, cin=cin,
+                          cout=cout, group=1),
+        grid=(bsz, h // bh),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(bh + 2), pl.Element(wi + 2),
+                 pl.Element(cin)),
+                lambda bi, hi: (bi, hi * bh, 0, 0),
+            ),
+            pl.BlockSpec((9 * cin, cout), lambda bi, hi: (0, 0)),
+            pl.BlockSpec((1, cout), lambda bi, hi: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bh, wi, cout), lambda bi, hi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, cout, cout), lambda bi, hi: (bi, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, h, wi, cout), x.dtype),
+            jax.ShapeDtypeStruct((bsz, cout, cout), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, wf, b.reshape(1, cout))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_bias_gram(x, w, b, interpret=False):
+    """3x3 SAME conv + bias AND the unnormalized Gram of its (pre-ReLU)
+    output, in one kernel pass: returns ``(y, gram)`` with
+    ``gram[v] = y_vᵀ·y_v`` over pixels ((B, C, C) float32).
+
+    Differentiable w.r.t. ``x`` only (VGG weights frozen). The Gram
+    cotangent folds into the output cotangent analytically:
+    d(yᵀy)/dy → dy += y·(ctG + ctGᵀ).
+    """
+    return _conv_gram_impl(x, w, b, interpret)
+
+
+def _cg_fwd(x, w, b, interpret):
+    y, g = conv3x3_bias_gram(x, w, b, interpret)
+    return (y, g), (w, y)
+
+
+def _cg_bwd(interpret, res, cts):
+    ct_y, ct_g = cts
+    w, y = res
+    sym = ct_g + jnp.swapaxes(ct_g, -1, -2)           # (B, C, C) f32
+    bsz, h, wi, cout = y.shape
+    dy = ct_y + jnp.einsum(
+        "bhwc,bcd->bhwd", y, sym.astype(y.dtype),
+        preferred_element_type=y.dtype,
+    )
+    wt = jnp.flip(jnp.flip(w, axis=0), axis=1).transpose(0, 1, 3, 2)
+    zb = jnp.zeros((w.shape[2],), dy.dtype)
+    return _conv3x3_same_impl(dy, wt, zb, interpret), None, None
+
+
+conv3x3_bias_gram.defvjp(_cg_fwd, _cg_bwd)

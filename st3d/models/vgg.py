@@ -276,6 +276,18 @@ def get_features(
                      + bf[None, :, None] * u[:, None, :]
                      + float(h * wd) * bf[None, :, None] * bf[None, None, :])
                 feats["conv1_1:gram"] = g
+        elif (gram1 and conv_i == TAP_CONV_INDEX["conv2_1"]
+              and "conv2_1" in wanted
+              and os.environ.get("ST3D_FUSED_GRAM2")
+              and conv_i in _pallas_convs() and _pallas_conv_ok(x)):
+            # Experimental (env ST3D_FUSED_GRAM2): conv2_1's Gram
+            # accumulated inside the conv kernel's VMEM band — the tap is
+            # never exported to a second consumer (same motivation as the
+            # algebraic conv1_1 Gram above).
+            from st3d.kernels.conv_pallas import conv3x3_bias_gram
+
+            x, g2 = conv3x3_bias_gram(x, w, b)
+            feats["conv2_1:gram"] = g2
         elif conv_i in _pallas_convs() and _pallas_conv_ok(x):
             # Stage-1/2 convs (64-128 ch at large spatial): XLA's conv
             # strategy drowns these in layout copies; the Pallas kernel
@@ -297,8 +309,8 @@ def get_features(
                 preferred_element_type=dtype,
             ) + b
         if conv_i in name_by_conv and name_by_conv[conv_i] in wanted:
-            if gram1 and conv_i == 0:
-                pass  # exported above as "conv1_1:gram" instead of the tap
+            if name_by_conv[conv_i] + ":gram" in feats:
+                pass  # Gram exported above instead of the tap
             elif layout == "NHWC":
                 feats[name_by_conv[conv_i]] = x
             else:

@@ -81,3 +81,33 @@ def render_rgba_tiled(
         check_vma=False,
     )
     return sharded(fv, mesh.verts_uvs, mesh.faces_uvs, mesh.texture)
+
+
+def pick_tile_count(image_size: int, n_devices: int) -> int:
+    """Largest device count <= n_devices whose row bands tile image_size."""
+    n = max(1, min(n_devices, image_size))
+    while image_size % n:
+        n -= 1
+    return n
+
+
+def render_meshes_tiled(
+    mesh: TriMesh,
+    cameras,
+    settings: RasterizationSettings,
+    tile_mesh: Optional[Mesh] = None,
+) -> tuple:
+    """``render_meshes``-shaped output ((N, 3, H, W) images, (N, 1, H, W)
+    masks) computed with pixel rows sharded across devices — the
+    ``--tile_parallel`` CLI path for 1024²+ renders (SURVEY.md §5's
+    "sequence parallelism" axis). Bit-identical to the single-device
+    renderer: row ownership is exclusive and the rasterizer is
+    deterministic per pixel."""
+    if tile_mesh is None:
+        tile_mesh = make_tile_mesh(
+            pick_tile_count(settings.image_size, len(jax.devices()))
+        )
+    rgba = render_rgba_tiled(mesh, cameras, settings, tile_mesh)
+    images = jnp.transpose(rgba[..., :3], (0, 3, 1, 2))
+    masks = (rgba[..., 3:4] > 0).astype(images.dtype)
+    return images, jnp.transpose(masks, (0, 3, 1, 2))

@@ -90,3 +90,42 @@ def test_get_features_gate_off_cpu():
     x = jnp.zeros((1, 64, 64, 3))
     assert jax.default_backend() != "tpu"
     assert not _pallas_conv_ok(x)
+
+
+def test_conv_gram_fused_matches_separate():
+    """conv3x3_bias_gram == (conv, gram of its output): values and input
+    gradients (including the Gram cotangent folding into dy)."""
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (2, 16, 24, 8), jnp.float32)
+    w = jax.random.normal(
+        jax.random.fold_in(key, 1), (3, 3, 8, 16), jnp.float32
+    ) * 0.1
+    b = jax.random.normal(jax.random.fold_in(key, 2), (16,), jnp.float32)
+
+    from st3d.kernels.conv_pallas import conv3x3_bias_gram
+
+    y, g = jax.jit(lambda xx: conv3x3_bias_gram(xx, w, b, True))(x)
+    y_ref = _xla_conv(x, w, b)
+    g_ref = jnp.einsum("bhwc,bhwd->bcd", y_ref, y_ref)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=1e-3, rtol=1e-4)
+
+    tgt = jax.random.normal(jax.random.fold_in(key, 3), g.shape, jnp.float32)
+    wgt = jax.random.normal(jax.random.fold_in(key, 4), y.shape, jnp.float32)
+
+    def loss_fused(xx):
+        y, g = conv3x3_bias_gram(xx, w, b, True)
+        return jnp.sum(y * wgt) + jnp.mean((g - tgt) ** 2)
+
+    def loss_sep(xx):
+        y = _xla_conv(xx, w, b)
+        g = jnp.einsum("bhwc,bhwd->bcd", y, y)
+        return jnp.sum(y * wgt) + jnp.mean((g - tgt) ** 2)
+
+    gf = jax.grad(loss_fused)(x)
+    gs = jax.grad(loss_sep)(x)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gs),
+                               atol=1e-3, rtol=1e-3)
+    assert float(jnp.abs(gf).max()) > 0

@@ -137,3 +137,41 @@ def test_tiled_render_matches_single_device(sphere_mesh):
     for a, b in zip(g_tiled, g_plain):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
     assert float(jnp.abs(g_plain[0]).sum()) > 0
+
+
+def test_save_render_tile_parallel_1024(sphere_mesh, tmp_path):
+    """The productized --tile_parallel path (VERDICT r2 item 5): save_render
+    at 1024^2 rows-sharded over the 8 virtual devices writes the SAME pixels
+    as the single-device render."""
+    from st3d.core.cameras import FoVPerspectiveCameras
+    from st3d.engine.pipelines import save_render
+    from st3d.render.rasterize import RasterizationSettings
+    from PIL import Image
+
+    cam = FoVPerspectiveCameras.create(T=jnp.array([[0.0, 0.0, 3.0]]))
+    settings = RasterizationSettings(image_size=1024, backend="xla")
+
+    save_render(sphere_mesh, cam, settings, str(tmp_path / "tiled"),
+                tile_parallel=True)
+    save_render(sphere_mesh, cam, settings, str(tmp_path / "plain"),
+                tile_parallel=False)
+    a = np.asarray(Image.open(tmp_path / "tiled" / "view_0.png"))
+    b = np.asarray(Image.open(tmp_path / "plain" / "view_0.png"))
+    assert a.shape == (1024, 1024, 3)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_tile_parallel_cli_flag():
+    from st3d.engine.config import parse_second_approach
+
+    cfg = parse_second_approach(["--tile_parallel", "true"])
+    assert cfg.tile_parallel is True
+    assert parse_second_approach([]).tile_parallel is False
+
+
+def test_pick_tile_count():
+    from st3d.parallel.tiles import pick_tile_count
+
+    assert pick_tile_count(1024, 8) == 8
+    assert pick_tile_count(100, 8) == 5   # largest divisor <= 8
+    assert pick_tile_count(64, 1) == 1
