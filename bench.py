@@ -32,7 +32,7 @@ VIEWS = 4
 TIMED_STEPS = 50
 
 
-def build_step(dtype_name: str = "bfloat16"):
+def build_step(dtype_name: str = "bfloat16", gram1: bool = True):
     """(step_fn, params, opt_state, n_per_call) for the benchmark workload."""
     import functools
 
@@ -86,7 +86,7 @@ def build_step(dtype_name: str = "bfloat16"):
         # (the tap is never exported; ST3D_NO_GRAM1 env reverts for A/B).
         rgba = render_rgba_static(apply_params(mesh, p), vis, settings)
         feats = get_features(rgba[..., :3], vgg, dtype=dtype,
-                             layout="NHWC", input_layout="NHWC", gram1=True)
+                             layout="NHWC", input_layout="NHWC", gram1=gram1)
         return style_content_loss(feats, targets, 1e6, 1.0, layout="NHWC")
 
     n_per_call = 25
@@ -161,16 +161,12 @@ def measure(tag: str, dtype_name: str = "bfloat16") -> dict:
     enable_compilation_cache()
     t_setup = time.time()
     steps, params, opt_state, n = build_step(dtype_name)
-    # XLA's own FLOP count of the compiled step program (the honest MFU
-    # numerator: includes raster epilogue, Grams, optimizer — everything the
-    # analytic VGG-conv count excludes). Per optimization step = / n.
-    xla_flops = None
-    try:
-        ca = steps.lower(params, opt_state).compile().cost_analysis()
-        if ca and ca.get("flops", 0) > 0:
-            xla_flops = float(ca["flops"]) / n
-    except Exception as e:  # pragma: no cover - cost analysis is best-effort
-        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+    # Shape specs for the post-timing cost analysis (the real arrays get
+    # donated away inside the step loop).
+    arg_specs = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        (params, opt_state),
+    )
     params, opt_state, losses = steps(params, opt_state)  # compile + warmup
     losses.block_until_ready()
     compile_s = time.time() - t_setup
@@ -184,6 +180,20 @@ def measure(tag: str, dtype_name: str = "bfloat16") -> dict:
     dt = time.time() - t0
     iters_per_sec = done / dt
     views_per_sec = iters_per_sec * VIEWS
+
+    # XLA's own FLOP count of the compiled step program (the honest MFU
+    # numerator: includes raster epilogue, Grams, optimizer — everything
+    # the analytic VGG-conv count excludes). Per optimization step = / n.
+    # Runs AFTER timing: the AOT lower().compile() is a second compile on
+    # some backends and must not pollute compile_s (it hits the persistent
+    # cache on repeats).
+    xla_flops = None
+    try:
+        ca = steps.lower(*arg_specs).compile().cost_analysis()
+        if ca and ca.get("flops", 0) > 0:
+            xla_flops = float(ca["flops"]) / n
+    except Exception as e:  # pragma: no cover - cost analysis is best-effort
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
 
     flops_analytic = step_flops_analytic()
     # Prefer XLA's count of the real program; fall back to the analytic

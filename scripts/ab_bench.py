@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Within-process interleaved A/B benchmark.
+
+Cross-process bench runs of the IDENTICAL graph vary by ~8% on the
+tunneled chip (measured: 31.07 vs 28.61 it/s for the same program), which
+drowns single-digit-percent effects. This harness compiles every variant
+in ONE process and interleaves timing windows (round-robin), so slow
+drift affects all variants equally; the median window speed per variant
+is the comparison.
+
+Usage: python scripts/ab_bench.py [windows_per_variant]
+Variants are (name, env, build kwargs) tuples in VARIANTS below.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# (name, env overrides applied at TRACE time, build_step kwargs)
+VARIANTS = [
+    ("base_no_gram1", {"ST3D_NO_GRAM1": "1"}, {}),
+    ("gram1", {}, {}),
+    ("gram1_gram2", {"ST3D_FUSED_GRAM2": "1"}, {}),
+    ("gram1_stridepool", {"ST3D_POOL": "stride"}, {}),
+    ("gram1_kgroup9", {"ST3D_CONV_KGROUP": "9"}, {}),
+]
+
+
+def main() -> int:
+    windows = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+
+    import jax
+
+    from st3d.utils.compilecache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import bench
+
+    built = []
+    for name, env, kwargs in VARIANTS:
+        saved = {}
+        for k, v in env.items():
+            saved[k] = os.environ.get(k)
+            os.environ[k] = v
+        try:
+            t0 = time.time()
+            steps, params, opt_state, n = bench.build_step(**kwargs)
+            params, opt_state, losses = steps(params, opt_state)
+            losses.block_until_ready()
+            print(f"[compile] {name}: {time.time()-t0:.1f}s", file=sys.stderr)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        built.append({"name": name, "steps": steps, "state": (params, opt_state),
+                      "n": n, "windows": []})
+
+    for w in range(windows):
+        for v in built:
+            steps, n = v["steps"], v["n"]
+            params, opt_state = v["state"]
+            t0 = time.time()
+            params, opt_state, losses = steps(params, opt_state)
+            losses.block_until_ready()
+            dt = time.time() - t0
+            v["state"] = (params, opt_state)
+            v["windows"].append(n / dt)
+        print(f"[window {w}] " + "  ".join(
+            f"{v['name']}={v['windows'][-1]:.2f}" for v in built
+        ), file=sys.stderr)
+
+    out = {}
+    for v in built:
+        xs = sorted(v["windows"])
+        med = xs[len(xs) // 2]
+        out[v["name"]] = {
+            "median_iters_per_sec": round(med, 3),
+            "windows": [round(x, 3) for x in v["windows"]],
+        }
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

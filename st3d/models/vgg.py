@@ -178,7 +178,19 @@ def _pallas_conv_ok(x: jnp.ndarray) -> bool:
 
 
 def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
-    """torch MaxPool2d(kernel=2, stride=2) in NHWC (floor mode == VALID)."""
+    """torch MaxPool2d(kernel=2, stride=2) in NHWC (floor mode == VALID).
+
+    ``ST3D_POOL=stride`` (experiment): max of the four strided quadrant
+    slices — same forward values; the backward becomes select-masks over
+    strided slices instead of SelectAndScatter (tie-break may differ on
+    exact ties, which real activations don't produce).
+    """
+    h2, w2 = (x.shape[1] // 2) * 2, (x.shape[2] // 2) * 2
+    if os.environ.get("ST3D_POOL") == "stride":
+        return jnp.maximum(
+            jnp.maximum(x[:, 0:h2:2, 0:w2:2], x[:, 1:h2:2, 0:w2:2]),
+            jnp.maximum(x[:, 0:h2:2, 1:w2:2], x[:, 1:h2:2, 1:w2:2]),
+        )
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
     )
