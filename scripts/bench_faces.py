@@ -70,6 +70,19 @@ def main() -> int:
         results["points"].append(point)
         print(point, file=sys.stderr)
 
+    # Crossover analysis: the face count where streaming first beats the
+    # resident kernel sets RESIDENT_COEFF_BUDGET (coeff bytes = F*20*4).
+    cross = None
+    for p in results["points"]:
+        r, s = p.get("resident_ms_per_view"), p.get("stream_ms_per_view")
+        if r is not None and s is not None and s < r:
+            cross = p["faces"]
+            break
+    results["stream_beats_resident_at_faces"] = cross
+    results["suggested_resident_coeff_budget"] = (
+        cross * 20 * 4 if cross else None
+    )
+
     with open(os.path.join(REPO, "BENCH_FACES.json"), "w") as fjson:
         json.dump(results, fjson, indent=1)
     print(json.dumps(results))

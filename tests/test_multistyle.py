@@ -104,3 +104,40 @@ def test_multistyle_dp_bad_count(tmp_path):
     )
     with pytest.raises(ValueError, match="divide"):
         run_multistyle(cfg, [f"{REF}/imgs/Style_1.jpg"] * 3)
+
+
+def test_multi_style_loss_gram_keys_match_tap_path():
+    """A feats dict carrying '<layer>:gram' keys (fused-gram kernels)
+    produces the same per-style losses as gramming the taps, including the
+    per-layer divisor heights (conv1_1 full-res, conv2_1 half-res)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from st3d.engine.multistyle import _multi_style_content_loss
+    from st3d.ops.losses import STYLE_LAYERS, gram_matrix_nhwc
+
+    rs = np.random.RandomState(3)
+    s, b, size = 2, 2, 16
+    shapes = {"conv1_1": (size, 64), "conv2_1": (size // 2, 128),
+              "conv3_1": (size // 4, 256), "conv4_1": (size // 8, 512),
+              "conv4_2": (size // 8, 512), "conv5_1": (size // 16, 512)}
+    feats = {
+        l: jnp.asarray(rs.rand(s, b, h, h, c), jnp.float32)
+        for l, (h, c) in shapes.items()
+    }
+    cfeat = jnp.asarray(rs.rand(b, size // 8, size // 8, 512), jnp.float32)
+    grams = {l: gram_matrix_nhwc(
+        jnp.asarray(rs.rand(s * b, *(shapes[l][0],) * 2, shapes[l][1]),
+                    jnp.float32)
+    ).reshape(s, b, shapes[l][1], shapes[l][1]) for l in STYLE_LAYERS}
+
+    want = _multi_style_content_loss(feats, cfeat, grams, 1e6, 1.0)
+
+    feats_g = dict(feats)
+    for l in ("conv1_1", "conv2_1"):
+        feats_g[l + ":gram"] = jnp.stack([
+            gram_matrix_nhwc(feats[l][i]) for i in range(s)
+        ])
+        del feats_g[l]
+    got = _multi_style_content_loss(feats_g, cfeat, grams, 1e6, 1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
