@@ -171,14 +171,18 @@ def measure(tag: str, dtype_name: str = "bfloat16") -> dict:
     losses.block_until_ready()
     compile_s = time.time() - t_setup
 
-    t0 = time.time()
-    done = 0
-    while done < TIMED_STEPS:
-        params, opt_state, losses = steps(params, opt_state)
-        done += n
-    losses.block_until_ready()
-    dt = time.time() - t0
-    iters_per_sec = done / dt
+    # Three timing windows, median reported: single-window numbers on the
+    # tunneled chip wobble by several percent (PERF_NOTES round-3 notes).
+    rates = []
+    for _ in range(3):
+        t0 = time.time()
+        done = 0
+        while done < TIMED_STEPS:
+            params, opt_state, losses = steps(params, opt_state)
+            done += n
+        losses.block_until_ready()
+        rates.append(done / (time.time() - t0))
+    iters_per_sec = sorted(rates)[len(rates) // 2]
     views_per_sec = iters_per_sec * VIEWS
 
     # XLA's own FLOP count of the compiled step program (the honest MFU
@@ -229,6 +233,7 @@ def measure(tag: str, dtype_name: str = "bfloat16") -> dict:
         "compile_s": compile_s,
         "last_loss": float(losses[-1]),
         "timed_steps": done,
+        "rate_windows": [round(r, 3) for r in rates],
     }
 
 

@@ -22,11 +22,12 @@ sys.path.insert(0, REPO)
 
 # (name, env overrides applied at TRACE time, build_step kwargs)
 VARIANTS = [
-    ("base_no_gram1", {"ST3D_NO_GRAM1": "1"}, {}),
     ("gram1", {}, {}),
-    ("gram1_gram2", {"ST3D_FUSED_GRAM2": "1"}, {}),
+    ("gram1_kgroup9", {"ST3D_CONV_KGROUP": "9"}, {}),     # cin<128 only now
+    ("gram1_relufuse", {"ST3D_FUSED_RELU": "1"}, {}),
     ("gram1_stridepool", {"ST3D_POOL": "stride"}, {}),
-    ("gram1_kgroup9", {"ST3D_CONV_KGROUP": "9"}, {}),
+    ("all_three", {"ST3D_CONV_KGROUP": "9", "ST3D_FUSED_RELU": "1",
+                   "ST3D_POOL": "stride"}, {}),
 ]
 
 

@@ -28,7 +28,10 @@ def main() -> int:
 
     enable_compilation_cache()
 
-    from conftest import make_ico_sphere
+    # NOT tests/conftest.make_ico_sphere: importing conftest force-selects
+    # the CPU platform (its job for the test suite), which silently turned
+    # this TPU bench into a CPU one.
+    from st3d.core.primitives import ico_sphere as make_ico_sphere
     from st3d.core.cameras import build_fixed_cameras
     from st3d.kernels.raster_pallas import rasterize_pallas_batched
     from st3d.render.rasterize import face_verts_screen

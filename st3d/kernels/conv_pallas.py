@@ -42,23 +42,29 @@ def _tap_group(cin: int) -> int:
     """Taps contracted per matmul (env ST3D_CONV_KGROUP={1,3,9}; 9 = one
     K=9*cin im2col matmul staged through VMEM scratch, 3 = per-dy K=3*cin).
 
-    MEASURED (round 3, 512² bench, bf16): grouping LOSES — gram1-only
-    31.07 it/s vs kgroup9 30.02 vs kgroup3 28.77. The patch-staging
-    stores/loads cost more than the MXU K-fill buys at cin=64 (the 9-tap
-    form reads each window once and feeds the MXU directly). Default stays
-    1; the grouped paths remain for experiments."""
+    Profiler (round 3): conv1_2 (cin=cout=64) runs its MXU passes
+    quarter-full — 1620us vs the ~400us roofline of every other stage —
+    so grouping taps into one K=9*cin matmul targets exactly that layer.
+    The first grouped experiment applied the env to EVERY conv (staging
+    9*512-channel scratch for stage 4 — a measurement artifact that made
+    grouping look like a loss); grouping is only ever sensible below the
+    128-lane contraction, so the env now applies to cin < 128 only."""
     env = os.environ.get("ST3D_CONV_KGROUP")
-    if env:
-        return int(env)
-    return 1
+    g = int(env) if env else 1
+    return g if cin < 128 else 1
 
 
 def _band_rows(h: int, wi: int, cin: int, cout: int, itemsize: int,
                group: int = 1) -> int:
-    # Grouped taps add a (bh*wi, group*cin) patch scratch buffer on top of
-    # the in/out/accumulator blocks; shrink the band accordingly.
-    eff = max(cin, cout, 64) + (group * cin if group > 1 else 0)
-    budget = max(256, BLOCK_PIXELS_64CH * 64 // eff)
+    if group > 1:
+        # Grouped taps add a (bh*wi, group*cin) patch scratch; with lane
+        # padding the scratch dominates at ~1.3KB/px (cin=64, bf16), so
+        # cap the band at ~2048 px (bh=4 at 512-wide: scratch+acc+blocks
+        # ≈ 6MB, inside the 16MB scoped VMEM with double buffering).
+        budget = max(256, (BLOCK_PIXELS_64CH // 4) * 64
+                     // max(cin, cout, 64))
+    else:
+        budget = max(256, BLOCK_PIXELS_64CH * 64 // max(cin, cout, 64))
     budget = budget * 2 // max(2, itemsize)   # sized for bf16; halve for f32
     bh = max(1, min(h, 16, budget // max(1, wi)))
     while h % bh:
@@ -67,7 +73,7 @@ def _band_rows(h: int, wi: int, cin: int, cout: int, itemsize: int,
 
 
 def _conv_kernel(x_ref, w_ref, b_ref, o_ref, patch_ref=None, *, bh, wi,
-                 cin, cout, group):
+                 cin, cout, group, relu=False):
     # x_ref: (1, bh+2, wi+2, cin) halo'd input rows; w_ref: (9*cin, cout)
     # tap-major packed weights; b_ref: (1, cout); o_ref: (1, bh, wi, cout).
     # patch_ref (group > 1): (bh*wi, group*cin) VMEM scratch — the shifted
@@ -106,10 +112,15 @@ def _conv_kernel(x_ref, w_ref, b_ref, o_ref, patch_ref=None, *, bh, wi,
                     tap, wk, preferred_element_type=jnp.float32
                 )
     acc = acc + b_ref[0].astype(jnp.float32)
+    if relu:
+        # Fused ReLU (non-tap layers): XLA cannot fuse elementwise ops
+        # into a custom call, so the separate max op costs a full
+        # activation read+write per layer (profiler: ~0.8ms/step at 512²).
+        acc = jnp.maximum(acc, 0.0)
     o_ref[0] = acc.astype(o_ref.dtype).reshape(bh, wi, cout)
 
 
-def _conv3x3_same_impl(x, w, b, interpret):
+def _conv3x3_same_impl(x, w, b, interpret, relu=False):
     bsz, h, wi, cin = x.shape
     cout = w.shape[3]
     group = _tap_group(cin)
@@ -123,7 +134,7 @@ def _conv3x3_same_impl(x, w, b, interpret):
         scratch = [pltpu.VMEM((bh * wi, group * cin), x.dtype)]
     return pl.pallas_call(
         functools.partial(_conv_kernel, bh=bh, wi=wi, cin=cin, cout=cout,
-                          group=group),
+                          group=group, relu=relu),
         grid=(bsz, h // bh),
         scratch_shapes=scratch,
         in_specs=[
@@ -166,6 +177,32 @@ def _bwd(interpret, res, ct):
 
 
 conv3x3_bias.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_bias_relu(x, w, b, interpret=False):
+    """relu(conv3x3(x) + b) in one kernel pass (non-tap VGG layers).
+
+    Backward: the ReLU mask comes from the saved OUTPUT (z > 0 ⟺ pre-ReLU
+    y > 0), then the usual flipped-weights transpose conv.
+    """
+    return _conv3x3_same_impl(x, w, b, interpret, relu=True)
+
+
+def _fr(x, w, b, interpret):
+    z = conv3x3_bias_relu(x, w, b, interpret)
+    return z, (w, z)
+
+
+def _br(interpret, res, ct):
+    w, z = res
+    ct = ct * (z > 0).astype(ct.dtype)
+    wt = jnp.flip(jnp.flip(w, axis=0), axis=1).transpose(0, 1, 3, 2)
+    zb = jnp.zeros((w.shape[2],), ct.dtype)
+    return _conv3x3_same_impl(ct, wt, zb, interpret), None, None
+
+
+conv3x3_bias_relu.defvjp(_fr, _br)
 
 
 # ---------------------------------------------------------------------------

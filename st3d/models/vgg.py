@@ -255,6 +255,7 @@ def get_features(
             continue
         w = model.kernels[conv_i].astype(dtype)
         b = model.biases[conv_i].astype(dtype)
+        did_relu = False
         if conv_i == 0:
             # conv1_1 has Cin=3: as a conv the MXU runs at <3% of its lanes
             # and XLA pads/relayouts around it (profiler: several ms of
@@ -300,6 +301,17 @@ def get_features(
 
             x, g2 = conv3x3_bias_gram(x, w, b)
             feats["conv2_1:gram"] = g2
+        elif (conv_i not in name_by_conv
+              and os.environ.get("ST3D_FUSED_RELU")
+              and conv_i in _pallas_convs() and _pallas_conv_ok(x)):
+            # Experimental (env ST3D_FUSED_RELU): non-tap layers fuse the
+            # ReLU into the conv kernel's output write — XLA cannot fuse
+            # elementwise ops into a custom call, so the standalone max
+            # costs a full activation round trip per layer.
+            from st3d.kernels.conv_pallas import conv3x3_bias_relu
+
+            x = conv3x3_bias_relu(x, w, b)
+            did_relu = True
         elif conv_i in _pallas_convs() and _pallas_conv_ok(x):
             # Stage-1/2 convs (64-128 ch at large spatial): XLA's conv
             # strategy drowns these in layout copies; the Pallas kernel
@@ -331,7 +343,8 @@ def get_features(
                 ).astype(jnp.float32)
         if conv_i >= LAST_TAP_CONV:
             break
-        x = jnp.maximum(x, 0.0)  # ReLU between convs (pre-ReLU taps above)
+        if not did_relu:
+            x = jnp.maximum(x, 0.0)  # ReLU between convs (pre-ReLU taps)
         conv_i += 1
         continue
     return feats

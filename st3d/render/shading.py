@@ -287,9 +287,15 @@ def shade_compact(
     vals = jnp.where(cov8[..., None], rgb_cov, bg)
 
     def one_view(idx_v, vals_v):
-        flat = jnp.broadcast_to(bg, (h * w // k + 1, k, 3))
+        # Rows are FLAT (k*3,) vectors: a (rows, k, 3) scatter operand gets
+        # laid out [rows, 3, 8] with the 8 tiled into 128 lanes — a 16x
+        # padded-traffic blowup on the bg broadcast + scatter + downstream
+        # convert (profiler: ~2.2ms/step at 512²). Flat k*3 rows pad
+        # 24 -> 128 instead (5.3x) and reshape back for free.
+        flat = jnp.broadcast_to(jnp.tile(bg, k), (h * w // k + 1, k * 3))
         flat = flat.at[idx_v].set(
-            vals_v, unique_indices=True, indices_are_sorted=True
+            vals_v.reshape(vals_v.shape[0], k * 3),
+            unique_indices=True, indices_are_sorted=True,
         )
         return flat[:-1].reshape(h, w, 3)
 

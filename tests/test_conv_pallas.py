@@ -129,3 +129,30 @@ def test_conv_gram_fused_matches_separate():
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gs),
                                atol=1e-3, rtol=1e-3)
     assert float(jnp.abs(gf).max()) > 0
+
+
+def test_conv_relu_fused_matches_separate():
+    """conv3x3_bias_relu == relu(conv): values and input gradients (the
+    backward mask comes from the saved output)."""
+    from st3d.kernels.conv_pallas import conv3x3_bias_relu
+
+    key = jax.random.PRNGKey(21)
+    x = jax.random.normal(key, (2, 16, 24, 8), jnp.float32)
+    w = jax.random.normal(
+        jax.random.fold_in(key, 1), (3, 3, 8, 16), jnp.float32
+    ) * 0.1
+    b = jax.random.normal(jax.random.fold_in(key, 2), (16,), jnp.float32)
+
+    z = jax.jit(lambda xx: conv3x3_bias_relu(xx, w, b, True))(x)
+    z_ref = jnp.maximum(_xla_conv(x, w, b), 0.0)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                               atol=1e-5, rtol=1e-5)
+
+    wgt = jax.random.normal(jax.random.fold_in(key, 3), z.shape, jnp.float32)
+    gf = jax.grad(lambda xx: jnp.sum(
+        conv3x3_bias_relu(xx, w, b, True) * wgt))(x)
+    gs = jax.grad(lambda xx: jnp.sum(
+        jnp.maximum(_xla_conv(xx, w, b), 0.0) * wgt))(x)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gs),
+                               atol=1e-4, rtol=1e-4)
+    assert float(jnp.abs(gf).max()) > 0
