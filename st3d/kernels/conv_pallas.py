@@ -48,9 +48,11 @@ def _tap_group(cin: int) -> int:
     The first grouped experiment applied the env to EVERY conv (staging
     9*512-channel scratch for stage 4 — a measurement artifact that made
     grouping look like a loss); grouping is only ever sensible below the
-    128-lane contraction, so the env now applies to cin < 128 only."""
+    128-lane contraction, so it applies to cin < 128 only. Measured
+    (ab_bench interleaved medians): +0.7% as the default. Env
+    ST3D_CONV_KGROUP={1,3,9} overrides."""
     env = os.environ.get("ST3D_CONV_KGROUP")
-    g = int(env) if env else 1
+    g = int(env) if env else 9
     return g if cin < 128 else 1
 
 

@@ -430,9 +430,14 @@ def rasterize_pallas(
 # Residency: one (nrows, fc) chunk (+ pipeline buffer) regardless of F.
 
 # Streaming kicks in above this budget for the resident coefficient array
-# (bytes); 4 MB = ~52k faces. Below it the resident kernel is faster (it
-# reads each face exactly once per view).
-RESIDENT_COEFF_BUDGET = 4 * 1024 * 1024
+# (bytes). MEASURED (BENCH_FACES.json, ico levels 3-7 @512²): the resident
+# kernel wins at EVERY face count that fits — 4.5 vs 7.3 ms/view at 1,280
+# faces widening to 11.3 vs 210.9 at 81,920 (coeffs = 6.55MB) — so there
+# is no crossover to tune; streaming exists solely for meshes whose
+# coefficient array cannot fit VMEM at all (327,680 faces = 26MB). The
+# budget is the largest measured-safe residency, not a performance
+# crossover.
+RESIDENT_COEFF_BUDGET = 7 * 1024 * 1024
 
 
 def _stream_kernel(ranges_ref, coeffs_ref, *refs, width: int,

@@ -180,10 +180,11 @@ def _pallas_conv_ok(x: jnp.ndarray) -> bool:
 def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     """torch MaxPool2d(kernel=2, stride=2) in NHWC (floor mode == VALID).
 
-    ``ST3D_POOL=stride`` (experiment): max of the four strided quadrant
-    slices — same forward values; the backward becomes select-masks over
-    strided slices instead of SelectAndScatter (tie-break may differ on
-    exact ties, which real activations don't produce).
+    ``ST3D_POOL=stride`` (experiment — measured 2x SLOWER end-to-end on
+    TPU, ab_bench 15.7 vs 30.5 it/s: the strided quadrant slices force
+    terrible layouts; kept only as a documented dead end): max of the four
+    strided slices — same forward values; backward select-masks instead of
+    SelectAndScatter.
     """
     h2, w2 = (x.shape[1] // 2) * 2, (x.shape[2] // 2) * 2
     if os.environ.get("ST3D_POOL") == "stride":
@@ -302,12 +303,12 @@ def get_features(
             x, g2 = conv3x3_bias_gram(x, w, b)
             feats["conv2_1:gram"] = g2
         elif (conv_i not in name_by_conv
-              and os.environ.get("ST3D_FUSED_RELU")
+              and not os.environ.get("ST3D_NO_FUSED_RELU")
               and conv_i in _pallas_convs() and _pallas_conv_ok(x)):
-            # Experimental (env ST3D_FUSED_RELU): non-tap layers fuse the
-            # ReLU into the conv kernel's output write — XLA cannot fuse
-            # elementwise ops into a custom call, so the standalone max
-            # costs a full activation round trip per layer.
+            # Non-tap layers fuse the ReLU into the conv kernel's output
+            # write — XLA cannot fuse elementwise ops into a custom call,
+            # so the standalone max costs a full activation round trip per
+            # layer (ab_bench: +2.9%; ST3D_NO_FUSED_RELU reverts).
             from st3d.kernels.conv_pallas import conv3x3_bias_relu
 
             x = conv3x3_bias_relu(x, w, b)
