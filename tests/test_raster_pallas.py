@@ -166,9 +166,14 @@ def test_stream_matches_resident(sphere_mesh, soft):
 
 
 def test_stream_large_mesh_auto_selected():
-    """An 81,920-face icosphere (7.7x the reference's largest mesh) exceeds
-    the resident VMEM budget, auto-selects the streaming kernel, and matches
-    the XLA oracle (VERDICT r1 item 5: face-count scaling)."""
+    """An 81,920-face icosphere (7.7x the reference's largest mesh) runs
+    through the STREAMING kernel and matches the XLA oracle (VERDICT r1
+    item 5: face-count scaling). Round 3: BENCH_FACES measured the resident
+    kernel faster at every face count that fits VMEM, so the auto budget
+    now keeps 81,920 faces (6.55MB of coefficients) resident — the next
+    ico level (327,680 faces = 26MB) is what auto-streams; this test pins
+    the budget boundary and forces the streaming kernel explicitly to keep
+    its correctness covered at this size."""
     import sys
     sys.path.insert(0, "tests")
     from conftest import make_ico_sphere
@@ -185,7 +190,10 @@ def test_stream_large_mesh_auto_selected():
     mesh = make_ico_sphere(level=6)
     f = mesh.faces.shape[0]
     assert f == 81920
-    assert f * 20 * 4 > RESIDENT_COEFF_BUDGET  # auto-streams
+    # Budget boundary: 81,920 faces stay resident (measured 19x faster);
+    # 4x that auto-streams.
+    assert f * 20 * 4 <= RESIDENT_COEFF_BUDGET
+    assert 4 * f * 20 * 4 > RESIDENT_COEFF_BUDGET
 
     size = 64
     cam = FoVPerspectiveCameras.create(T=jnp.array([[0.0, 0.0, 2.5]]))
@@ -198,6 +206,11 @@ def test_stream_large_mesh_auto_selected():
     )
     np.testing.assert_array_equal(
         np.asarray(got.pix_to_face), np.asarray(want.pix_to_face)
+    )
+    # The streaming kernel stays exact at this face count (forced).
+    got_stream = rasterize_pallas_batched(fv, size, stream=True)
+    np.testing.assert_array_equal(
+        np.asarray(got_stream.pix_to_face), np.asarray(want.pix_to_face)
     )
     cov = np.asarray(want.pix_to_face) >= 0
     assert cov.mean() > 0.1  # the sphere actually renders
