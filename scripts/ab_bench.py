@@ -21,13 +21,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 # (name, env overrides applied at TRACE time, build_step kwargs)
+# Round-3 finalization: defaults now include fused ReLU + cin<128 tap
+# grouping + in-kernel halo (nopad) + fused conv+pool; the ablations
+# quantify the two newest levers.
 VARIANTS = [
-    ("gram1", {}, {}),
-    ("gram1_kgroup9", {"ST3D_CONV_KGROUP": "9"}, {}),     # cin<128 only now
-    ("gram1_relufuse", {"ST3D_FUSED_RELU": "1"}, {}),
-    ("gram1_stridepool", {"ST3D_POOL": "stride"}, {}),
-    ("all_three", {"ST3D_CONV_KGROUP": "9", "ST3D_FUSED_RELU": "1",
-                   "ST3D_POOL": "stride"}, {}),
+    ("default", {}, {}),
+    ("no_pool_fuse", {"ST3D_NO_FUSED_POOL": "1"}, {}),
+    ("no_kernel_halo", {"ST3D_NO_KERNEL_HALO": "1"}, {}),
+    ("neither", {"ST3D_NO_FUSED_POOL": "1", "ST3D_NO_KERNEL_HALO": "1"}, {}),
+    ("fused_gram2", {"ST3D_FUSED_GRAM2": "1"}, {}),
 ]
 
 

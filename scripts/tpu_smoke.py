@@ -292,6 +292,60 @@ def main() -> int:
             diff <= tol, f"max|pallas-xla|={diff:.3g} (tol {tol})",
         )
 
+    # --- 5. fused conv+relu+pool kernel: fwd values + bwd routing ------
+    # Forward compares against pure XLA (loose: conv accumulation-order
+    # rounding). Backward compares against the PALLAS unfused chain
+    # (conv3x3_bias_relu + reduce_window): identical conv rounding means
+    # identical bf16 pool ties, so the argmax routing — and therefore the
+    # gradient — must match tightly; a pure-XLA bwd comparison is
+    # meaningless in max norm (a tie broken differently moves a whole
+    # |dp| to another pixel).
+    from st3d.kernels.conv_pallas import (conv3x3_bias_relu,
+                                          conv3x3_bias_relu_pool)
+
+    def _xla_crp(xx, wc, bc, dtype):
+        y = jax.lax.conv_general_dilated(
+            xx, wc, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dtype) + bc
+        y = jnp.maximum(y, 0.0)
+        return jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+    def _pallas_unfused(xx, wc, bc):
+        y = conv3x3_bias_relu(xx, wc, bc)
+        return jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+    for dtype, shape, cout, ftol, btol in (
+        (jnp.bfloat16, (2, 512, 512, 64), 64, 0.25, 1e-3),
+        (jnp.bfloat16, (2, 256, 256, 128), 128, 0.5, 1e-3),
+    ):
+        key = jax.random.PRNGKey(9)
+        xc = jax.random.normal(key, shape, dtype)
+        wc = (jax.random.normal(jax.random.fold_in(key, 1),
+                                (3, 3, shape[3], cout), jnp.float32)
+              * 0.05).astype(dtype)
+        bc = jax.random.normal(jax.random.fold_in(key, 2), (cout,), dtype)
+        pref = jax.jit(lambda xx: _xla_crp(xx, wc, bc, dtype))(xc)
+        pout = jax.jit(lambda xx: conv3x3_bias_relu_pool(xx, wc, bc)[0])(xc)
+        dfwd = float(jnp.max(jnp.abs(
+            pref.astype(jnp.float32) - pout.astype(jnp.float32))))
+        wgt = jax.random.normal(jax.random.fold_in(key, 3), pref.shape, dtype)
+        gf = jax.jit(jax.grad(lambda xx: jnp.sum(
+            (conv3x3_bias_relu_pool(xx, wc, bc)[0] * wgt
+             ).astype(jnp.float32))))(xc)
+        gs = jax.jit(jax.grad(lambda xx: jnp.sum(
+            (_pallas_unfused(xx, wc, bc) * wgt).astype(jnp.float32))))(xc)
+        dbwd = float(jnp.max(jnp.abs(
+            gf.astype(jnp.float32) - gs.astype(jnp.float32))))
+        record(
+            f"pallas_conv_pool_{shape[1]}x{shape[3]}",
+            dfwd <= ftol and dbwd <= btol,
+            f"fwd max|d|={dfwd:.3g} (tol {ftol}) vs XLA; "
+            f"bwd max|d|={dbwd:.3g} (tol {btol}) vs pallas-unfused",
+        )
+
     results["total_s"] = round(time.time() - t_start, 1)
     _write(results, ok)
     return 0 if ok else 1

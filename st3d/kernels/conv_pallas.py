@@ -74,11 +74,49 @@ def _band_rows(h: int, wi: int, cin: int, cout: int, itemsize: int,
     return bh
 
 
-def _conv_kernel(x_ref, w_ref, b_ref, o_ref, patch_ref=None, *, bh, wi,
-                 cin, cout, group, relu=False):
+def _finish(acc, b_ref, o_ref, bh, wi, cout, relu, i_ref=None):
+    acc = acc + b_ref[0].astype(jnp.float32)
+    if relu:
+        # Fused ReLU (non-tap layers): XLA cannot fuse elementwise ops
+        # into a custom call, so the separate max op costs a full
+        # activation read+write per layer (profiler: ~0.8ms/step at 512²).
+        acc = jnp.maximum(acc, 0.0)
+    if i_ref is None:
+        o_ref[0] = acc.astype(o_ref.dtype).reshape(bh, wi, cout)
+        return
+    # Fused 2x2/stride-2 max-pool (pre-pool layers, relu implied): the
+    # full-size activation never leaves VMEM — only the pooled output and
+    # a quadrant-index map (for the exact backward routing) hit HBM,
+    # absorbing the reduce_window fwd and the SelectAndScatter bwd.
+    # Quadrant index = 2*dy + dx. Reduction order is COLUMNS then ROWS
+    # with strict > so ties pick the first max in row-major window scan
+    # order — exactly XLA's SelectAndScatter(GE) routing (probed
+    # on-device). Pooling happens on the OUTPUT-dtype values, not the
+    # f32 accumulator: bf16 rounding creates ties the f32 compare would
+    # break differently, routing the backward to a different pixel than
+    # the unfused graph (~|dp|-sized max-norm diffs on-device).
+    acc = acc.astype(o_ref.dtype).astype(jnp.float32)
+    y4 = acc.reshape(bh, wi // 2, 2, cout)
+    c0, c1 = y4[:, :, 0], y4[:, :, 1]
+    cm = jnp.maximum(c0, c1)                      # (bh, wi/2, cout)
+    cw = (c1 > c0).astype(jnp.float32)            # winning column per row
+    cm2 = cm.reshape(bh // 2, 2, wi // 2, cout)
+    cw2 = cw.reshape(bh // 2, 2, wi // 2, cout)
+    r0, r1 = cm2[:, 0], cm2[:, 1]
+    rw = (r1 > r0).astype(jnp.float32)            # winning row pair
+    p = jnp.maximum(r0, r1)
+    dxq = jnp.where(rw > 0, cw2[:, 1], cw2[:, 0])
+    o_ref[0] = p.astype(o_ref.dtype)
+    i_ref[0] = (rw * 2 + dxq).astype(i_ref.dtype)
+
+
+def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *rest, bh, wi,
+                 cin, cout, group, relu=False, pool=False):
+    i_ref = rest[0] if pool else None
+    patch_ref = rest[-1] if group > 1 else None
     # x_ref: (1, bh+2, wi+2, cin) halo'd input rows; w_ref: (9*cin, cout)
     # tap-major packed weights; b_ref: (1, cout); o_ref: (1, bh, wi, cout).
-    # patch_ref (group > 1): (bh*wi, group*cin) VMEM scratch — the shifted
+    # patch_ref (group > 1): (bh, wi, group*cin) VMEM scratch — the shifted
     # windows have mismatched sublane/lane offsets, so they are STORED into
     # the scratch (memory ops relayout) instead of vector-concatenated
     # (Mosaic rejects tpu.concatenate of offset-mismatched vectors).
@@ -86,22 +124,24 @@ def _conv_kernel(x_ref, w_ref, b_ref, o_ref, patch_ref=None, *, bh, wi,
     if group == 9:
         for dy in range(3):
             for dx in range(3):
-                k = dy * 3 + dx
-                patch_ref[:, k * cin:(k + 1) * cin] = x_ref[
+                k = (dy * 3 + dx) * cin
+                patch_ref[:, :, k:k + cin] = x_ref[
                     0, dy:dy + bh, dx:dx + wi, :
-                ].reshape(bh * wi, cin)
+                ]
         acc = acc + jnp.dot(
-            patch_ref[...], w_ref[...], preferred_element_type=jnp.float32
+            patch_ref[...].reshape(bh * wi, 9 * cin), w_ref[...],
+            preferred_element_type=jnp.float32,
         )
     elif group == 3:
         for dy in range(3):
             for dx in range(3):
-                patch_ref[:, dx * cin:(dx + 1) * cin] = x_ref[
+                patch_ref[:, :, dx * cin:(dx + 1) * cin] = x_ref[
                     0, dy:dy + bh, dx:dx + wi, :
-                ].reshape(bh * wi, cin)
+                ]
             wk = w_ref[dy * 3 * cin:(dy + 1) * 3 * cin, :]
             acc = acc + jnp.dot(
-                patch_ref[...], wk, preferred_element_type=jnp.float32
+                patch_ref[...].reshape(bh * wi, 3 * cin), wk,
+                preferred_element_type=jnp.float32,
             )
     else:
         for dy in range(3):
@@ -113,49 +153,178 @@ def _conv_kernel(x_ref, w_ref, b_ref, o_ref, patch_ref=None, *, bh, wi,
                 acc = acc + jnp.dot(
                     tap, wk, preferred_element_type=jnp.float32
                 )
-    acc = acc + b_ref[0].astype(jnp.float32)
-    if relu:
-        # Fused ReLU (non-tap layers): XLA cannot fuse elementwise ops
-        # into a custom call, so the separate max op costs a full
-        # activation read+write per layer (profiler: ~0.8ms/step at 512²).
-        acc = jnp.maximum(acc, 0.0)
-    o_ref[0] = acc.astype(o_ref.dtype).reshape(bh, wi, cout)
+    _finish(acc, b_ref, o_ref, bh, wi, cout, relu, i_ref)
 
 
-def _conv3x3_same_impl(x, w, b, interpret, relu=False):
+def _conv_kernel_nopad(x_ref, w_ref, b_ref, o_ref, *rest, bh, wi,
+                       cin, cout, nbands, relu=False, pool=False):
+    """group=9 kernel reading the UNPADDED input: the ±1 SAME halo is
+    realized by staging ZEROS into the patch scratch at the image borders
+    instead of materializing a padded activation copy in HBM (profiler:
+    the per-conv pads cost ~1.7ms/step at 512², the single largest
+    non-compute line after the epilogue).
+
+    The input block is (1, bh+2, wi, cin) at row offset
+    clip(hi*bh-1, 0, h-bh-2); ``base = hi*bh-1 - offset`` is -1 on the
+    first band and +1 on the last, shifting tap dy's local rows to
+    out_row + dy + base. dy=0 on the first band and dy=2 on the last fall
+    one row outside the image: their stores shift by a row and zero the
+    border row of that tap's patch slot.
+    """
+    i_ref = rest[0] if pool else None
+    patch_ref = rest[-1]
+    hi = pl.program_id(1)
+    base = jnp.where(hi == 0, -1, 0) + jnp.where(hi == nbands - 1, 1, 0)
+    zrow = jnp.zeros((1, wi, cin), x_ref.dtype)
+
+    def store_cols(rows_val, dy, dx, row_lo, row_hi):
+        # Place tap rows with the dx column shift; the out-of-image column
+        # of the edge taps is zeroed.
+        k = (dy * 3 + dx) * cin
+        n = row_hi - row_lo
+        if dx == 0:
+            patch_ref[row_lo:row_hi, 1:wi, k:k + cin] = rows_val[:, 0:wi - 1, :]
+            patch_ref[row_lo:row_hi, 0:1, k:k + cin] = jnp.zeros(
+                (n, 1, cin), rows_val.dtype
+            )
+        elif dx == 2:
+            patch_ref[row_lo:row_hi, 0:wi - 1, k:k + cin] = rows_val[:, 1:wi, :]
+            patch_ref[row_lo:row_hi, wi - 1:wi, k:k + cin] = jnp.zeros(
+                (n, 1, cin), rows_val.dtype
+            )
+        else:
+            patch_ref[row_lo:row_hi, :, k:k + cin] = rows_val
+
+    for dy in range(3):
+        if dy == 1:
+            # local rows 1+base .. bh+base: in-block on every band.
+            rows = x_ref[0, pl.ds(1 + base, bh), :, :]
+            for dx in range(3):
+                store_cols(rows, 1, dx, 0, bh)
+        elif dy == 0:
+            @pl.when(hi != 0)
+            def _interior0():
+                rows = x_ref[0, pl.ds(base, bh), :, :]
+                for dx in range(3):
+                    store_cols(rows, 0, dx, 0, bh)
+
+            @pl.when(hi == 0)
+            def _first0():
+                # out row 0's dy=0 tap reads image row -1 => zeros; rows
+                # 1..bh-1 read image rows 0..bh-2.
+                rows = x_ref[0, 0:bh - 1, :, :]
+                for dx in range(3):
+                    store_cols(rows, 0, dx, 1, bh)
+                    k = dx * cin
+                    patch_ref[0:1, :, k:k + cin] = zrow.astype(x_ref.dtype)
+        else:  # dy == 2
+            @pl.when(hi != nbands - 1)
+            def _interior2():
+                rows = x_ref[0, pl.ds(2 + base, bh), :, :]
+                for dx in range(3):
+                    store_cols(rows, 2, dx, 0, bh)
+
+            @pl.when(hi == nbands - 1)
+            def _last2():
+                # out row bh-1's dy=2 tap reads image row h => zeros; rows
+                # 0..bh-2 read local rows 3..bh+1.
+                rows = x_ref[0, 3:bh + 2, :, :]
+                for dx in range(3):
+                    store_cols(rows, 2, dx, 0, bh - 1)
+                    k = (6 + dx) * cin
+                    patch_ref[bh - 1:bh, :, k:k + cin] = zrow.astype(
+                        x_ref.dtype
+                    )
+
+    acc = jnp.dot(
+        patch_ref[...].reshape(bh * wi, 9 * cin), w_ref[...],
+        preferred_element_type=jnp.float32,
+    )
+    _finish(acc, b_ref, o_ref, bh, wi, cout, relu, i_ref)
+
+
+def _conv3x3_same_impl(x, w, b, interpret, relu=False, pool=False):
     bsz, h, wi, cin = x.shape
     cout = w.shape[3]
     group = _tap_group(cin)
     bh = _band_rows(h, wi, cin, cout, x.dtype.itemsize, group)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    if pool:
+        # Pooled bands: bh must be even (2x2 windows never straddle a
+        # band boundary; h, wi even is checked by the caller). h even
+        # guarantees bh=2 as the floor, so the VMEM budget can only be
+        # undershot, never violated.
+        bh = bh - (bh % 2)
+        while bh > 2 and h % bh:
+            bh -= 2
+        bh = max(bh, 2)
+    nb = h // bh
     wf = w.reshape(9 * cin, cout)
     scratch = []
     if group > 1:
         from jax.experimental.pallas import tpu as pltpu
 
-        scratch = [pltpu.VMEM((bh * wi, group * cin), x.dtype)]
-    return pl.pallas_call(
-        functools.partial(_conv_kernel, bh=bh, wi=wi, cin=cin, cout=cout,
-                          group=group, relu=relu),
-        grid=(bsz, h // bh),
-        scratch_shapes=scratch,
-        in_specs=[
+        scratch = [pltpu.VMEM((bh, wi, group * cin), x.dtype)]
+    # In-kernel halo (group=9 shapes with >=2 bands): skip the HBM pad.
+    # bh >= 2 is load-bearing: single-row bands make _first0's row-1 store
+    # and _last2's 3:bh+2 read start out of bounds (JAX validates slice
+    # starts even for empty slices) — seen on-device at 1024-wide f32.
+    nopad = (group == 9 and nb >= 2 and bh >= 2 and h - bh - 2 >= 0
+             and wi >= 2 and not os.environ.get("ST3D_NO_KERNEL_HALO"))
+    if nopad:
+        kernel = functools.partial(
+            _conv_kernel_nopad, bh=bh, wi=wi, cin=cin, cout=cout,
+            nbands=nb, relu=relu, pool=pool,
+        )
+        x_spec = pl.BlockSpec(
+            (pl.Element(1), pl.Element(bh + 2), pl.Element(wi),
+             pl.Element(cin)),
+            lambda bi, hi: (bi, jnp.clip(hi * bh - 1, 0, h - bh - 2), 0, 0),
+        )
+        operand = x
+    else:
+        kernel = functools.partial(
+            _conv_kernel, bh=bh, wi=wi, cin=cin, cout=cout, group=group,
+            relu=relu, pool=pool,
+        )
+        x_spec = pl.BlockSpec(
             # Overlapping row windows (the +-1 halo) need element-offset
             # indexing; Mosaic requires every dim of the spec to use it.
-            pl.BlockSpec(
-                (pl.Element(1), pl.Element(bh + 2), pl.Element(wi + 2),
-                 pl.Element(cin)),
-                lambda bi, hi: (bi, hi * bh, 0, 0),
-            ),
+            (pl.Element(1), pl.Element(bh + 2), pl.Element(wi + 2),
+             pl.Element(cin)),
+            lambda bi, hi: (bi, hi * bh, 0, 0),
+        )
+        operand = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    if pool:
+        out_specs = [
+            pl.BlockSpec((1, bh // 2, wi // 2, cout),
+                         lambda bi, hi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, bh // 2, wi // 2, cout),
+                         lambda bi, hi: (bi, hi, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((bsz, h // 2, wi // 2, cout), x.dtype),
+            # Quadrant index 0..3 stored in the activation dtype (exact
+            # as bf16; int8 outputs are shakier in Mosaic).
+            jax.ShapeDtypeStruct((bsz, h // 2, wi // 2, cout), x.dtype),
+        ]
+    else:
+        out_specs = pl.BlockSpec(
+            (1, bh, wi, cout), lambda bi, hi: (bi, hi, 0, 0)
+        )
+        out_shape = jax.ShapeDtypeStruct((bsz, h, wi, cout), x.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, nb),
+        scratch_shapes=scratch,
+        in_specs=[
+            x_spec,
             pl.BlockSpec((9 * cin, cout), lambda bi, hi: (0, 0)),
             pl.BlockSpec((1, cout), lambda bi, hi: (0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, bh, wi, cout), lambda bi, hi: (bi, hi, 0, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((bsz, h, wi, cout), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(xp, wf, b.reshape(1, cout))
+    )(operand, wf, b.reshape(1, cout))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -205,6 +374,46 @@ def _br(interpret, res, ct):
 
 
 conv3x3_bias_relu.defvjp(_fr, _br)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_bias_relu_pool(x, w, b, interpret=False):
+    """maxpool2x2(relu(conv3x3(x) + b)) in one kernel pass (the four VGG
+    pre-pool layers). Returns ``(pooled, idx)`` where ``idx`` in {0..3}
+    (= 2*dy + dx window scan order, activation dtype) records the argmax
+    quadrant for the exact backward routing. The full-size activation
+    never leaves VMEM — forward saves its HBM round trip plus the
+    reduce_window, backward replaces SelectAndScatter with an
+    index-routed expansion.
+
+    Requires even H and W. Backward: dp routes to the argmax quadrant,
+    masked by ``pooled > 0`` (the relu mask at the argmax — non-argmax
+    positions get no pool gradient regardless), then the usual
+    flipped-weights transpose conv.
+    """
+    return _conv3x3_same_impl(x, w, b, interpret, relu=True, pool=True)
+
+
+def _frp(x, w, b, interpret):
+    p, idx = conv3x3_bias_relu_pool(x, w, b, interpret)
+    return (p, idx), (w, p, idx)
+
+
+def _brp(interpret, res, cts):
+    ct_p, _ = cts                       # idx is non-differentiable
+    w, p, idx = res
+    dp = ct_p * (p > 0).astype(ct_p.dtype)
+    quads = [dp * (idx == q).astype(dp.dtype) for q in range(4)]
+    bsz, h2, w2, c = dp.shape
+    row0 = jnp.stack([quads[0], quads[1]], axis=3).reshape(bsz, h2, w2 * 2, c)
+    row1 = jnp.stack([quads[2], quads[3]], axis=3).reshape(bsz, h2, w2 * 2, c)
+    dy = jnp.stack([row0, row1], axis=2).reshape(bsz, h2 * 2, w2 * 2, c)
+    wt = jnp.flip(jnp.flip(w, axis=0), axis=1).transpose(0, 1, 3, 2)
+    zb = jnp.zeros((w.shape[2],), dy.dtype)
+    return _conv3x3_same_impl(dy, wt, zb, interpret), None, None
+
+
+conv3x3_bias_relu_pool.defvjp(_frp, _brp)
 
 
 # ---------------------------------------------------------------------------

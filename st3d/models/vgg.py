@@ -250,9 +250,13 @@ def get_features(
     name_by_conv = {v: k for k, v in TAP_CONV_INDEX.items()}
 
     conv_i = 0
-    for v in VGG19_CFG:
+    skip_pool = False
+    for cfg_i, v in enumerate(VGG19_CFG):
         if v == "M":
-            x = _max_pool_2x2(x)
+            if skip_pool:
+                skip_pool = False
+            else:
+                x = _max_pool_2x2(x)
             continue
         w = model.kernels[conv_i].astype(dtype)
         b = model.biases[conv_i].astype(dtype)
@@ -309,9 +313,23 @@ def get_features(
             # write — XLA cannot fuse elementwise ops into a custom call,
             # so the standalone max costs a full activation round trip per
             # layer (ab_bench: +2.9%; ST3D_NO_FUSED_RELU reverts).
-            from st3d.kernels.conv_pallas import conv3x3_bias_relu
+            next_is_pool = (cfg_i + 1 < len(VGG19_CFG)
+                            and VGG19_CFG[cfg_i + 1] == "M")
+            if (next_is_pool
+                    and not os.environ.get("ST3D_NO_FUSED_POOL")):
+                # Pre-pool layers additionally fuse the 2x2 max-pool: the
+                # full-size activation never leaves VMEM — only the pooled
+                # output + argmax-quadrant map hit HBM, absorbing the
+                # reduce_window fwd and SelectAndScatter bwd
+                # (ST3D_NO_FUSED_POOL reverts).
+                from st3d.kernels.conv_pallas import conv3x3_bias_relu_pool
 
-            x = conv3x3_bias_relu(x, w, b)
+                x, _ = conv3x3_bias_relu_pool(x, w, b)
+                skip_pool = True
+            else:
+                from st3d.kernels.conv_pallas import conv3x3_bias_relu
+
+                x = conv3x3_bias_relu(x, w, b)
             did_relu = True
         elif conv_i in _pallas_convs() and _pallas_conv_ok(x):
             # Stage-1/2 convs (64-128 ch at large spatial): XLA's conv

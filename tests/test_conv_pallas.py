@@ -82,6 +82,77 @@ def test_tap_groupings_match_xla(monkeypatch, group, cin):
     )
 
 
+@pytest.mark.parametrize("shape", [
+    ((1, 32, 16, 8)),   # bh=16, 2 bands: first/last-band zero-halo logic
+    ((1, 48, 16, 8)),   # 3 bands: interior band takes the base=0 path
+])
+def test_kernel_halo_matches_padded(monkeypatch, shape):
+    """The in-kernel-halo (nopad) variant == the HBM-padded variant == XLA
+    at shapes that activate it (group=9, >=2 bands of >=2 rows)."""
+    key = jax.random.PRNGKey(13)
+    x = jax.random.normal(key, shape, jnp.float32)
+    w = jax.random.normal(
+        jax.random.fold_in(key, 1), (3, 3, shape[3], 16), jnp.float32
+    ) * 0.1
+    b = jax.random.normal(jax.random.fold_in(key, 2), (16,), jnp.float32)
+    ref = _xla_conv(x, w, b)
+    monkeypatch.delenv("ST3D_NO_KERNEL_HALO", raising=False)
+    out = jax.jit(lambda xx: conv3x3_bias(xx, w, b, True))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    monkeypatch.setenv("ST3D_NO_KERNEL_HALO", "1")
+    pad = jax.jit(lambda xx: conv3x3_bias(xx, w, b, True))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(pad),
+                               atol=0, rtol=0)
+
+
+def test_single_row_band_falls_back():
+    """bh==1 must NOT take the in-kernel-halo path: its border stores
+    (patch_ref[1:1], x_ref[3:bh+2]) have out-of-range slice starts that
+    JAX rejects at trace time — seen on-device at 1024-wide f32. The
+    fallback padded path must produce the right answer."""
+    key = jax.random.PRNGKey(17)
+    x = jax.random.normal(key, (1, 4, 768, 8), jnp.float32)   # bh == 1
+    w = jax.random.normal(
+        jax.random.fold_in(key, 1), (3, 3, 8, 16), jnp.float32
+    ) * 0.1
+    b = jnp.zeros((16,), jnp.float32)
+    out = jax.jit(lambda xx: conv3x3_bias(xx, w, b, True))(x)
+    ref = _xla_conv(x, w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_get_features_fused_pool_loop_bookkeeping(monkeypatch):
+    """get_features with the fused conv+pool path active (gate forced on,
+    kernels in interpret mode) produces the same taps as the pure-XLA
+    path — validates the skip_pool lookahead never double-pools or skips
+    a real pool, across all five tap layers."""
+    import st3d.models.vgg as vggmod
+    import st3d.kernels.conv_pallas as cp
+
+    model = vggmod.init_random_vgg19(0)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (1, 3, 32, 32))
+
+    ref = vggmod.get_features(x, model)
+
+    real_cb, real_cr, real_crp = (cp.conv3x3_bias, cp.conv3x3_bias_relu,
+                                  cp.conv3x3_bias_relu_pool)
+    monkeypatch.setattr(vggmod, "_pallas_conv_ok", lambda _x: True)
+    monkeypatch.setattr(cp, "conv3x3_bias",
+                        lambda xx, w, b, i=False: real_cb(xx, w, b, True))
+    monkeypatch.setattr(cp, "conv3x3_bias_relu",
+                        lambda xx, w, b, i=False: real_cr(xx, w, b, True))
+    monkeypatch.setattr(cp, "conv3x3_bias_relu_pool",
+                        lambda xx, w, b, i=False: real_crp(xx, w, b, True))
+
+    out = vggmod.get_features(x, model)
+    assert set(out) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_get_features_gate_off_cpu():
     """On the CPU backend get_features must take the XLA conv path (the
     Pallas gate requires a real TPU)."""
@@ -128,6 +199,46 @@ def test_conv_gram_fused_matches_separate():
     gs = jax.grad(loss_sep)(x)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gs),
                                atol=1e-3, rtol=1e-3)
+    assert float(jnp.abs(gf).max()) > 0
+
+
+@pytest.mark.parametrize("shape,cout", [
+    ((2, 32, 16, 8), 16),     # multi-band, multi-view
+    ((1, 48, 24, 8), 16),     # 3 bands (odd band count)
+    ((1, 16, 16, 64), 64),    # conv1_2-like channels
+])
+def test_conv_relu_pool_fused_matches_separate(shape, cout):
+    """conv3x3_bias_relu_pool == maxpool2x2(relu(conv)): pooled values,
+    idx range, and input gradients vs the autodiff of the unfused chain
+    (exact argmax routing through the saved quadrant map)."""
+    from st3d.kernels.conv_pallas import conv3x3_bias_relu_pool
+
+    def ref(x, w, b):
+        y = _xla_conv(x, w, b)
+        y = jnp.maximum(y, 0.0)
+        return jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        )
+
+    key = jax.random.PRNGKey(23)
+    x = jax.random.normal(key, shape, jnp.float32)
+    w = jax.random.normal(
+        jax.random.fold_in(key, 1), (3, 3, shape[3], cout), jnp.float32
+    ) * 0.1
+    b = jax.random.normal(jax.random.fold_in(key, 2), (cout,), jnp.float32)
+
+    p, idx = jax.jit(lambda xx: conv3x3_bias_relu_pool(xx, w, b, True))(x)
+    pref = ref(x, w, b)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(pref),
+                               atol=1e-5, rtol=1e-5)
+    assert set(np.unique(np.asarray(idx))) <= {0.0, 1.0, 2.0, 3.0}
+
+    wgt = jax.random.normal(jax.random.fold_in(key, 3), p.shape, jnp.float32)
+    gf = jax.grad(lambda xx: jnp.sum(
+        conv3x3_bias_relu_pool(xx, w, b, True)[0] * wgt))(x)
+    gs = jax.grad(lambda xx: jnp.sum(ref(xx, w, b) * wgt))(x)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gs),
+                               atol=1e-4, rtol=1e-4)
     assert float(jnp.abs(gf).max()) > 0
 
 
