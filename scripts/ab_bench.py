@@ -26,9 +26,8 @@ sys.path.insert(0, REPO)
 # quantify the two newest levers.
 VARIANTS = [
     ("default", {}, {}),
-    ("no_pool_fuse", {"ST3D_NO_FUSED_POOL": "1"}, {}),
+    ("pool_fuse", {"ST3D_FUSED_POOL": "1"}, {}),
     ("no_kernel_halo", {"ST3D_NO_KERNEL_HALO": "1"}, {}),
-    ("neither", {"ST3D_NO_FUSED_POOL": "1", "ST3D_NO_KERNEL_HALO": "1"}, {}),
     ("fused_gram2", {"ST3D_FUSED_GRAM2": "1"}, {}),
 ]
 

@@ -316,12 +316,16 @@ def get_features(
             next_is_pool = (cfg_i + 1 < len(VGG19_CFG)
                             and VGG19_CFG[cfg_i + 1] == "M")
             if (next_is_pool
-                    and not os.environ.get("ST3D_NO_FUSED_POOL")):
-                # Pre-pool layers additionally fuse the 2x2 max-pool: the
-                # full-size activation never leaves VMEM — only the pooled
-                # output + argmax-quadrant map hit HBM, absorbing the
-                # reduce_window fwd and SelectAndScatter bwd
-                # (ST3D_NO_FUSED_POOL reverts).
+                    and os.environ.get("ST3D_FUSED_POOL")):
+                # Experimental (env ST3D_FUSED_POOL): pre-pool layers
+                # additionally fuse the 2x2 max-pool — the full-size
+                # activation never leaves VMEM; backward replaces
+                # SelectAndScatter with an argmax-index-routed expansion.
+                # MEASURED A NET LOSS at the 512² bench (ab_bench medians:
+                # fwd neutral — in-VMEM relayouts eat the saved traffic —
+                # bwd +0.7ms from the strided interleave expansion), so
+                # off by default; kept as a validated, tested kernel
+                # (bit-exact bwd vs the unfused chain on-device).
                 from st3d.kernels.conv_pallas import conv3x3_bias_relu_pool
 
                 x, _ = conv3x3_bias_relu_pool(x, w, b)

@@ -138,6 +138,7 @@ def test_get_features_fused_pool_loop_bookkeeping(monkeypatch):
 
     real_cb, real_cr, real_crp = (cp.conv3x3_bias, cp.conv3x3_bias_relu,
                                   cp.conv3x3_bias_relu_pool)
+    monkeypatch.setenv("ST3D_FUSED_POOL", "1")
     monkeypatch.setattr(vggmod, "_pallas_conv_ok", lambda _x: True)
     monkeypatch.setattr(cp, "conv3x3_bias",
                         lambda xx, w, b, i=False: real_cb(xx, w, b, True))
