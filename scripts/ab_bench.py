@@ -21,14 +21,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 # (name, env overrides applied at TRACE time, build_step kwargs)
-# Round-3 finalization: defaults now include fused ReLU + cin<128 tap
-# grouping + in-kernel halo (nopad) + fused conv+pool; the ablations
-# quantify the two newest levers.
+# Current ablation: the space-to-depth packed conv1_2 (+in-kernel pool1),
+# default-on, vs the unpacked 9-tap form it replaced.
 VARIANTS = [
     ("default", {}, {}),
-    ("pool_fuse", {"ST3D_FUSED_POOL": "1"}, {}),
-    ("no_kernel_halo", {"ST3D_NO_KERNEL_HALO": "1"}, {}),
-    ("fused_gram2", {"ST3D_FUSED_GRAM2": "1"}, {}),
+    ("no_packed1", {"ST3D_NO_PACKED1": "1"}, {}),
 ]
 
 

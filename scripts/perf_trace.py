@@ -63,15 +63,19 @@ def main() -> int:
     n_steps = 2 * n
     print(f"# per-step times (total/{n_steps}); columns: {cols}",
           file=sys.stderr)
+    fcol = next((c for c in cols if "framework" in c.lower()), None)
+    ocol = next((c for c in cols if "occurrence" in c.lower()), None)
     cat_sum = {}
-    for r in out[:40]:
+    for r in out[:60]:
         t_us = (r.get(tcol) or 0) / n_steps
-        name = str(r.get(ncol))[:110]
+        name = str(r.get(ncol))[:60]
         cat = str(r.get(ccol)) if ccol else "?"
+        fw = str(r.get(fcol) or "")[:90] if fcol else ""
+        occ = r.get(ocol) if ocol else ""
         if "while" not in name:
             cat_sum[cat] = cat_sum.get(cat, 0.0) + t_us
-        print(f"{t_us:10.1f} us  {cat:24s} {name}")
-    print("--- category sums (top-40 rows, while excluded) ---")
+        print(f"{t_us:10.1f} us x{occ:>3} {cat:22s} {name:60s} {fw}")
+    print("--- category sums (top-60 rows, while excluded) ---")
     for k, v in sorted(cat_sum.items(), key=lambda kv: -kv[1]):
         print(f"{v:10.1f} us  {k}")
     if len(sys.argv) > 1:

@@ -346,6 +346,44 @@ def main() -> int:
             f"bwd max|d|={dbwd:.3g} (tol {btol}) vs pallas-unfused",
         )
 
+    # --- 6. packed (space-to-depth) conv1_2 kernel --------------------
+    # Forward vs XLA (loose bf16 tol as above). Backward vs the pallas
+    # unfused chain, tie-flip tolerant: the packed kernel's 4xK=256
+    # accumulation order differs from the 9-tap form, so a few pool
+    # candidates can round to different bf16 values and legitimately
+    # re-route their tie — bound the FRACTION of gradient entries that
+    # moved, not the max norm.
+    from st3d.kernels.conv_pallas import conv3x3_bias_relu_pool_packed
+
+    dtype, shape, cout = jnp.bfloat16, (2, 512, 512, 64), 64
+    key = jax.random.PRNGKey(11)
+    xc = jax.random.normal(key, shape, dtype)
+    wc = (jax.random.normal(jax.random.fold_in(key, 1),
+                            (3, 3, shape[3], cout), jnp.float32)
+          * 0.05).astype(dtype)
+    bc = jax.random.normal(jax.random.fold_in(key, 2), (cout,), dtype)
+    t0 = time.time()
+    pref = jax.jit(lambda xx: _xla_crp(xx, wc, bc, dtype))(xc)
+    pout = jax.jit(
+        lambda xx: conv3x3_bias_relu_pool_packed(xx, wc, bc)[0])(xc)
+    dfwd = float(jnp.max(jnp.abs(
+        pref.astype(jnp.float32) - pout.astype(jnp.float32))))
+    wgt = jax.random.normal(jax.random.fold_in(key, 3), pref.shape, dtype)
+    gf = jax.jit(jax.grad(lambda xx: jnp.sum(
+        (conv3x3_bias_relu_pool_packed(xx, wc, bc)[0] * wgt
+         ).astype(jnp.float32))))(xc)
+    gs = jax.jit(jax.grad(lambda xx: jnp.sum(
+        (_pallas_unfused(xx, wc, bc) * wgt).astype(jnp.float32))))(xc)
+    dabs = jnp.abs(gf.astype(jnp.float32) - gs.astype(jnp.float32))
+    frac_moved = float(jnp.mean((dabs > 1e-3).astype(jnp.float32)))
+    record(
+        "pallas_conv_packed_512x64",
+        dfwd <= 0.25 and frac_moved <= 1e-4,
+        f"fwd max|d|={dfwd:.3g} (tol 0.25) vs XLA; bwd frac moved "
+        f"(>1e-3)={frac_moved:.2e} (tol 1e-4) vs pallas-unfused "
+        f"(compile+run {time.time() - t0:.0f}s)",
+    )
+
     results["total_s"] = round(time.time() - t_start, 1)
     _write(results, ok)
     return 0 if ok else 1

@@ -513,3 +513,285 @@ def _cg_bwd(interpret, res, cts):
 
 
 conv3x3_bias_gram.defvjp(_cg_fwd, _cg_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth packed conv (conv1_2): full-MXU matmuls at cin=64
+# ---------------------------------------------------------------------------
+#
+# conv1_2 (cin=cout=64 at 512²) is the one layer whose matmuls cannot fill
+# the 128x128 MXU in the natural layout: K=64/N=64 quarter-fills it, and the
+# profiler shows it at ~2.3ms fwd against a ~0.4ms roofline while every
+# 128+-channel stage runs near peak. The fix is the classic space-to-depth
+# transform: pack 2x2 pixel quads into channels ((B,H,W,C) padded by 1 →
+# (B,H/2+1,W/2+1,4C)), under which the 3x3 SAME conv becomes a 2x2 VALID
+# conv with K=4·cin=256, N=4·cout=256 — full MXU fill for 16/9× the FLOPs,
+# a net ~2.25× on the MXU passes. Because the following 2x2/stride-2
+# maxpool's windows are exactly the four output phases packed into one
+# pixel's channels, the pool collapses to a LANE-SLICED channel-group max
+# inside the kernel (the spatially-fused pool variant above lost to sublane
+# relayouts; channel groups have none), so pool1's reduce_window fwd and
+# SelectAndScatter bwd disappear with it.
+#
+# Derivation of the tap/phase mapping (offsets chosen so the packed window
+# is 2x2, not 3x3): with P(Y,X,(py,px,c)) = Ipad(2Y+py, 2X+px, c) over the
+# 1-padded image, O(2Y+qy, 2X+qx, o) = Σ_{dy,dx,c} P(Y+ty, X+tx, (py,px,c))
+# · W3[dy,dx,c,o] where (ty,py) = divmod(qy+dy, 2), (tx,px) = divmod(qx+dx,
+# 2) — ty,tx ∈ {0,1}. Zeros fill the (ty,py,qy,dy) combinations with no
+# solution; W2 is 56% dense, which is where the 16/9 comes from.
+
+
+def _pack_weights_2x2(w, b):
+    """(3,3,cin,cout) HWIO → ((2,2,4cin,4cout) flat (16cin,4cout) tap-major,
+    (4cout,)) for the packed 2x2 VALID conv. Packed channel order is
+    (py,px,c) in / (qy,qx,o) out, matching the space-to-depth reshape."""
+    cin, cout = w.shape[2], w.shape[3]
+    w2 = jnp.zeros((2, 2, 2, 2, cin, 2, 2, cout), w.dtype)
+    for qy in range(2):
+        for qx in range(2):
+            for dy in range(3):
+                for dx in range(3):
+                    ty, py = divmod(qy + dy, 2)
+                    tx, px = divmod(qx + dx, 2)
+                    w2 = w2.at[ty, tx, py, px, :, qy, qx, :].set(w[dy, dx])
+    return w2.reshape(4 * 4 * cin, 4 * cout), jnp.tile(b, 4)
+
+
+def _space_to_depth5(x):
+    """(B,H,W,C) → (B, H/2+1, 2, W/2+1, 2C): pad 1 on every side, then a
+    pure RESHAPE — row 2Y+py lands at [Y, py] and the (px,c) pair is
+    already minor-contiguous, so XLA emits a bitcast, not a transpose.
+    (The first packed layout interleaved (py,px,c) into one channel axis;
+    the profiler showed ~2.7ms/step of pad+transpose+reshape copies for
+    it at 512². Keeping py as its own axis removes every copy but the
+    pad.)"""
+    bsz, h, wi, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return xp.reshape(bsz, (h + 2) // 2, 2, (wi + 2) // 2, 2 * c)
+
+
+def _pool4_first_max(acc, pool_c, out_dtype):
+    """Reduce the four phase channel-groups of ``acc`` ((M, 4*pool_c) f32)
+    with strict > — first max in window scan order wins, matching
+    SelectAndScatter's probed routing. Ties compare OUTPUT-dtype values
+    (see _finish: f32 compares break bf16 ties differently). Returns
+    (pooled, idx) as (M, pool_c) f32."""
+    acc = acc.astype(out_dtype).astype(jnp.float32)
+    c0 = acc[:, 0 * pool_c:1 * pool_c]
+    c1 = acc[:, 1 * pool_c:2 * pool_c]
+    c2 = acc[:, 2 * pool_c:3 * pool_c]
+    c3 = acc[:, 3 * pool_c:4 * pool_c]
+    w01 = (c1 > c0).astype(jnp.float32)
+    w23 = (c3 > c2).astype(jnp.float32)
+    m01 = jnp.maximum(c0, c1)
+    m23 = jnp.maximum(c2, c3)
+    wm = (m23 > m01).astype(jnp.float32)
+    p = jnp.maximum(m01, m23)
+    idx = jnp.where(wm > 0, 2.0 + w23, w01)
+    return p, idx
+
+
+def _conv2x2_fwd_kernel(x_ref, w_ref, b_ref, o_ref, i_ref, *, bh, wi,
+                        cin2, pool_c):
+    """Packed fwd: x_ref is the 5D (1, bh+1, 2, wi+1, 2cin) block — eight
+    K=2cin, N=4cout matmuls over taps (ty, tx, py). ReLU + the 2x2 pool
+    (= a channel-group max over the four output phases) happen in VMEM;
+    only (pooled, idx) reach HBM."""
+    kout = o_ref.shape[3] * 4
+    acc = jnp.zeros((bh * wi, kout), jnp.float32)
+    for t in range(4):
+        ty, tx = divmod(t, 2)
+        for py in range(2):
+            tap = x_ref[0, ty:ty + bh, py, tx:tx + wi, :].reshape(
+                bh * wi, cin2
+            )
+            k0 = t * 2 * cin2 + py * cin2
+            acc = acc + jnp.dot(
+                tap, w_ref[k0:k0 + cin2, :],
+                preferred_element_type=jnp.float32,
+            )
+    acc = jnp.maximum(acc + b_ref[0].astype(jnp.float32), 0.0)
+    p, idx = _pool4_first_max(acc, pool_c, o_ref.dtype)
+    o_ref[0] = p.astype(o_ref.dtype).reshape(bh, wi, pool_c)
+    i_ref[0] = idx.astype(i_ref.dtype).reshape(bh, wi, pool_c)
+
+
+def _conv2x2_bwd_kernel(dp_ref, i_ref, p_ref, w_ref, o_ref, dz_ref, *,
+                        bh, wo, hz, wz, cout, cin, nbands):
+    """Packed bwd, one pass: route the pool cotangent to its argmax phase
+    (relu-masked) into a zero-padded VMEM scratch, then the four K=4cout
+    transpose-conv matmuls. dp/i/p blocks are (1, bh+1, wz, cout) rows of
+    the POOLED grid at clip(hi*bh-1, ...); the out block is the 5D
+    (1, bh, 2, wo, 2cin) slab of the dxp grid (wo = wz + 2), so the
+    unpack back to NHWC is a bitcast + one slice. Border rows/cols of the
+    scratch hold zeros (dz is zero outside the pooled grid)."""
+    hi = pl.program_id(1)
+
+    dz_ref[...] = jnp.zeros(dz_ref.shape, dz_ref.dtype)
+    dp = dp_ref[0]
+    # Mosaic has no bf16 vector compare on this target — route in f32.
+    mask = (p_ref[0].astype(jnp.float32) > 0).astype(jnp.float32)
+    idx = i_ref[0].astype(jnp.float32)
+
+    def route(rows):
+        # rows: slice of the block's row axis; returns routed dz rows.
+        d = dp[rows].astype(jnp.float32) * mask[rows]
+        ix = idx[rows]
+        return jnp.concatenate(
+            [(d * (ix == float(q)).astype(jnp.float32)).astype(
+                dz_ref.dtype) for q in range(4)], axis=-1
+        )
+
+    # Scratch row j holds dz[hi*bh - 1 + j] (zero outside [0, hz)); the
+    # dp/i/p block sits at row clip(hi*bh - 1, 0, hz - bh - 1), so the
+    # block→scratch shift is 1 on the first band (dz[-1] row stays zero)
+    # and 2 on the last (the final two scratch rows are dz[hz], dz[hz+1]
+    # — both zero). Middle bands copy 1:1. Requires nbands >= 2, bh >= 2,
+    # hz >= bh + 1 (the caller falls back to XLA otherwise).
+    @pl.when(hi == 0)
+    def _first():
+        dz_ref[1:bh + 1, 1:wz + 1, :] = route(slice(0, bh))
+
+    @pl.when((hi != 0) & (hi != nbands - 1))
+    def _mid():
+        dz_ref[0:bh + 1, 1:wz + 1, :] = route(slice(0, bh + 1))
+
+    @pl.when(hi == nbands - 1)
+    def _last():
+        dz_ref[0:bh - 1, 1:wz + 1, :] = route(slice(2, bh + 1))
+
+    acc = jnp.zeros((bh * wo, 4 * cin), jnp.float32)
+    for t in range(4):
+        sy, sx = divmod(t, 2)
+        # dxp[Y, X] += dz[Y - sy, X - sx] @ (W2[sy, sx])ᵀ; scratch holds
+        # dz shifted by +1 in each axis (row j = dz[Y0 - 1 + j]), so the
+        # tap slice starts at (1 - sy, 1 - sx). w_ref is the FLIPPED
+        # transpose weights (wtf[a, b] = W2[1-a, 1-b]ᵀ), so (W2[sy, sx])ᵀ
+        # lives at tap index 3 - t.
+        tap = dz_ref[1 - sy:1 - sy + bh, 1 - sx:1 - sx + wo, :].reshape(
+            bh * wo, 4 * cout
+        )
+        acc = acc + jnp.dot(
+            tap, w_ref[(3 - t) * 4 * cout:(4 - t) * 4 * cout, :],
+            preferred_element_type=jnp.float32,
+        )
+    out = acc.reshape(bh, wo, 4 * cin).astype(o_ref.dtype)
+    for py in range(2):
+        o_ref[0, :, py, :, :] = out[:, :, py * 2 * cin:(py + 1) * 2 * cin]
+
+
+def _bwd_weights_2x2(w):
+    """Spatially-flipped, IO-transposed packed weights for the transpose
+    conv: (16*cout, 4*cin) tap-major, K channels in dz's (q, o) order."""
+    cin, cout = w.shape[2], w.shape[3]
+    w2, _ = _pack_weights_2x2(w, jnp.zeros((cout,), w.dtype))
+    w2 = w2.reshape(2, 2, 4 * cin, 4 * cout)
+    wt = jnp.flip(jnp.flip(w2, axis=0), axis=1).transpose(0, 1, 3, 2)
+    return wt.reshape(4 * 4 * cout, 4 * cin)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_bias_relu_pool_packed(x, w, b, interpret=False):
+    """maxpool2x2(relu(conv3x3_same(x) + b)) via the space-to-depth packed
+    2x2 conv — same contract as ``conv3x3_bias_relu_pool`` (returns
+    ``(pooled, idx)``, idx in {0..3} window scan order, activation dtype),
+    built for conv1_2 where cin=64 quarter-fills the MXU in natural layout.
+    Requires even H and W. Differentiable w.r.t. ``x`` only."""
+    bsz, h, wi, cin = x.shape
+    hp, wp = h // 2, wi // 2
+    cout = w.shape[3]
+    wflat, b4 = _pack_weights_2x2(w, b)
+    xp = _space_to_depth5(x)
+    bh = _band_rows(hp, wp, 4 * cin, 4 * cout, x.dtype.itemsize)
+    kernel = functools.partial(
+        _conv2x2_fwd_kernel, bh=bh, wi=wp, cin2=2 * cin, pool_c=cout,
+    )
+    out_sd = jax.ShapeDtypeStruct((bsz, hp, wp, cout), x.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, hp // bh),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(bh + 1), pl.Element(2),
+                 pl.Element(wp + 1), pl.Element(2 * cin)),
+                lambda bi, hi: (bi, hi * bh, 0, 0, 0),
+            ),
+            pl.BlockSpec(wflat.shape, lambda bi, hi: (0, 0)),
+            pl.BlockSpec((1, 4 * cout), lambda bi, hi: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bh, wp, cout), lambda bi, hi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, bh, wp, cout), lambda bi, hi: (bi, hi, 0, 0)),
+        ],
+        out_shape=[out_sd, out_sd],
+        interpret=interpret,
+    )(xp, wflat, b4.reshape(1, 4 * cout))
+
+
+def _prp_fwd(x, w, b, interpret):
+    p, idx = conv3x3_bias_relu_pool_packed(x, w, b, interpret)
+    return (p, idx), (w, p, idx)
+
+
+def _prp_bwd(interpret, res, cts):
+    ct_p, _ = cts
+    w, p, idx = res
+    cin, cout = w.shape[2], w.shape[3]
+    bsz, hz, wz = p.shape[0], p.shape[1], p.shape[2]
+    h, wi = 2 * hz, 2 * wz
+    wtf = _bwd_weights_2x2(w)
+    # dxp grid = the packed-padded input support, (hz+1)×(wz+1), emitted
+    # on an even-banded (hz+2)×(wz+2) grid (hz+1 can be prime). The
+    # routing + transpose conv run in ONE kernel pass when the banding
+    # permits; tiny shapes fall back to the XLA chain.
+    ho, wo = hz + 2, wz + 2
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh = _band_rows(ho, wo, 4 * cout, 4 * cin, ct_p.dtype.itemsize)
+    nb = ho // bh
+    if nb >= 2 and bh >= 2 and hz >= bh + 1:
+        kernel = functools.partial(
+            _conv2x2_bwd_kernel, bh=bh, wo=wo, hz=hz, wz=wz, cout=cout,
+            cin=cin, nbands=nb,
+        )
+        pspec = pl.BlockSpec(
+            (pl.Element(1), pl.Element(bh + 1), pl.Element(wz),
+             pl.Element(cout)),
+            lambda bi, hi: (bi, jnp.clip(hi * bh - 1, 0, hz - bh - 1),
+                            0, 0),
+        )
+        dxp = pl.pallas_call(
+            kernel,
+            grid=(bsz, nb),
+            in_specs=[pspec, pspec, pspec,
+                      pl.BlockSpec(wtf.shape, lambda bi, hi: (0, 0))],
+            out_specs=pl.BlockSpec(
+                (1, bh, 2, wo, 2 * cin), lambda bi, hi: (bi, hi, 0, 0, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct((bsz, ho, 2, wo, 2 * cin),
+                                           ct_p.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((bh + 1, wz + 3, 4 * cout), ct_p.dtype)
+            ],
+            interpret=interpret,
+        )(ct_p, idx, p, wtf)
+    else:
+        dp = ct_p * (p > 0).astype(ct_p.dtype)
+        dz = jnp.concatenate(
+            [dp * (idx == q).astype(dp.dtype) for q in range(4)], axis=-1
+        )
+        ctp = jnp.pad(dz, ((0, 0), (1, 2), (1, 2), (0, 0)))
+        dxp = jax.lax.conv_general_dilated(
+            ctp, wtf.reshape(2, 2, 4 * cout, 4 * cin), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=ctp.dtype,
+        )  # (B, hz+2, wz+2, 4cin): the (ho, wo) dxp grid
+        dxp = dxp.reshape(bsz, ho, wo, 2, 2 * cin).transpose(0, 1, 3, 2, 4)
+    # Bitcast unpack: (B, ho, 2, wo, 2cin) → slice the true (hz+1, wz+1)
+    # support → (B, h+2, w+2, cin) → drop the SAME-padding ring.
+    dxp = dxp[:, :hz + 1, :, :wz + 1, :]
+    dx = dxp.reshape(bsz, h + 2, wi + 2, cin)
+    return dx[:, 1:h + 1, 1:wi + 1, :], None, None
+
+
+conv3x3_bias_relu_pool_packed.defvjp(_prp_fwd, _prp_bwd)

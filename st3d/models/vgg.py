@@ -315,7 +315,23 @@ def get_features(
             # layer (ab_bench: +2.9%; ST3D_NO_FUSED_RELU reverts).
             next_is_pool = (cfg_i + 1 < len(VGG19_CFG)
                             and VGG19_CFG[cfg_i + 1] == "M")
-            if (next_is_pool
+            if (next_is_pool and x.shape[3] < 128
+                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+                    and not os.environ.get("ST3D_NO_PACKED1")):
+                # conv1_2 (cin=64): the one layer whose K=64/N=64 matmuls
+                # quarter-fill the MXU — run it space-to-depth packed
+                # (2x2 VALID conv, K=N=256) with the ReLU and the
+                # following maxpool fused as an in-VMEM channel-group max
+                # (profiler: ~2.3ms fwd vs a ~0.4ms roofline unpacked;
+                # pool1's reduce_window + SelectAndScatter fold in free).
+                # Env ST3D_NO_PACKED1 reverts for A/B.
+                from st3d.kernels.conv_pallas import (
+                    conv3x3_bias_relu_pool_packed,
+                )
+
+                x, _ = conv3x3_bias_relu_pool_packed(x, w, b)
+                skip_pool = True
+            elif (next_is_pool
                     and os.environ.get("ST3D_FUSED_POOL")):
                 # Experimental (env ST3D_FUSED_POOL): pre-pool layers
                 # additionally fuse the 2x2 max-pool — the full-size

@@ -138,6 +138,7 @@ def test_get_features_fused_pool_loop_bookkeeping(monkeypatch):
 
     real_cb, real_cr, real_crp = (cp.conv3x3_bias, cp.conv3x3_bias_relu,
                                   cp.conv3x3_bias_relu_pool)
+    real_prp = cp.conv3x3_bias_relu_pool_packed
     monkeypatch.setenv("ST3D_FUSED_POOL", "1")
     monkeypatch.setattr(vggmod, "_pallas_conv_ok", lambda _x: True)
     monkeypatch.setattr(cp, "conv3x3_bias",
@@ -146,6 +147,11 @@ def test_get_features_fused_pool_loop_bookkeeping(monkeypatch):
                         lambda xx, w, b, i=False: real_cr(xx, w, b, True))
     monkeypatch.setattr(cp, "conv3x3_bias_relu_pool",
                         lambda xx, w, b, i=False: real_crp(xx, w, b, True))
+    # conv1_2 (cin<128 pre-pool) routes through the PACKED kernel by
+    # default — patch it into interpret mode too so both fused-pool
+    # flavors' skip_pool bookkeeping is exercised in one pass.
+    monkeypatch.setattr(cp, "conv3x3_bias_relu_pool_packed",
+                        lambda xx, w, b, i=False: real_prp(xx, w, b, True))
 
     out = vggmod.get_features(x, model)
     assert set(out) == set(ref)
@@ -268,3 +274,77 @@ def test_conv_relu_fused_matches_separate():
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gs),
                                atol=1e-4, rtol=1e-4)
     assert float(jnp.abs(gf).max()) > 0
+
+
+@pytest.mark.parametrize("shape,cout", [
+    ((2, 32, 16, 8), 16),     # multi-band, multi-view
+    ((1, 48, 24, 8), 16),     # 3 bands (odd band count)
+    ((1, 16, 16, 64), 64),    # conv1_2-like channels
+])
+def test_conv_packed_pool_matches_separate(shape, cout):
+    """conv3x3_bias_relu_pool_packed (space-to-depth 2x2 conv, in-VMEM
+    channel-group pool) == maxpool2x2(relu(conv)): pooled values, idx
+    range, and input gradients vs autodiff of the unfused chain."""
+    from st3d.kernels.conv_pallas import conv3x3_bias_relu_pool_packed
+
+    def ref(x, w, b):
+        y = jnp.maximum(_xla_conv(x, w, b), 0.0)
+        return jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        )
+
+    key = jax.random.PRNGKey(29)
+    x = jax.random.normal(key, shape, jnp.float32)
+    w = jax.random.normal(
+        jax.random.fold_in(key, 1), (3, 3, shape[3], cout), jnp.float32
+    ) * 0.1
+    b = jax.random.normal(jax.random.fold_in(key, 2), (cout,), jnp.float32)
+
+    p, idx = jax.jit(
+        lambda xx: conv3x3_bias_relu_pool_packed(xx, w, b, True))(x)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(ref(x, w, b)),
+                               atol=1e-5, rtol=1e-5)
+    assert set(np.unique(np.asarray(idx))) <= {0.0, 1.0, 2.0, 3.0}
+
+    wgt = jax.random.normal(jax.random.fold_in(key, 3), p.shape, jnp.float32)
+    gf = jax.grad(lambda xx: jnp.sum(
+        conv3x3_bias_relu_pool_packed(xx, w, b, True)[0] * wgt))(x)
+    gs = jax.grad(lambda xx: jnp.sum(ref(xx, w, b) * wgt))(x)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gs),
+                               atol=1e-4, rtol=1e-4)
+    assert float(jnp.abs(gf).max()) > 0
+
+
+def test_conv_packed_pool_idx_first_max_wins():
+    """Tie routing: with a delta kernel (only the center tap nonzero) the
+    conv is an exact copy in BOTH the packed and unpacked accumulation
+    orders (the other taps add exact zeros), so constructed ties are
+    bit-exact and the argmax map must pick the FIRST max in window scan
+    order — SelectAndScatter's probed semantics. (Comparing idx maps
+    between the two kernels on random weights is NOT a valid test: their
+    different f32 summation orders legitimately break near-ties
+    differently.)"""
+    from st3d.kernels.conv_pallas import (conv3x3_bias_relu_pool,
+                                          conv3x3_bias_relu_pool_packed)
+
+    c = 8
+    w = jnp.zeros((3, 3, c, c), jnp.float32)
+    w = w.at[1, 1].set(jnp.eye(c))              # conv == identity copy
+    b = jnp.zeros((c,), jnp.float32)
+    key = jax.random.PRNGKey(31)
+    # Quantized values create frequent exact ties inside 2x2 windows.
+    x = jnp.round(jax.random.uniform(key, (1, 16, 16, c)) * 3.0) / 2.0
+
+    p2, i2 = jax.jit(
+        lambda xx: conv3x3_bias_relu_pool_packed(xx, w, b, True))(x)
+    p1, i1 = jax.jit(lambda xx: conv3x3_bias_relu_pool(xx, w, b, True))(x)
+
+    xn = np.asarray(x)
+    wins = xn.reshape(1, 8, 2, 8, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    wins = wins.reshape(1, 8, 8, 4, c)          # window scan order
+    expect_p = np.maximum(wins.max(axis=3), 0.0)
+    expect_i = wins.argmax(axis=3).astype(np.float32)  # np argmax = first
+    np.testing.assert_allclose(np.asarray(p2), expect_p, atol=0, rtol=0)
+    np.testing.assert_array_equal(np.asarray(i2), expect_i)
+    np.testing.assert_array_equal(np.asarray(i1), expect_i)
+    assert (expect_i > 0).any()                 # ties + non-ties exercised
