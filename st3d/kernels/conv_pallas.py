@@ -627,7 +627,13 @@ def _conv2x2_bwd_kernel(dp_ref, i_ref, p_ref, w_ref, o_ref, dz_ref, *,
     scratch hold zeros (dz is zero outside the pooled grid)."""
     hi = pl.program_id(1)
 
-    dz_ref[...] = jnp.zeros(dz_ref.shape, dz_ref.dtype)
+    # Zero ONLY the scratch borders (a full-scratch memset per band costs
+    # ~0.9MB of VMEM writes × nbands × views): cols 0, wz+1, wz+2 always;
+    # boundary rows on the first/last bands below.
+    zc = jnp.zeros((bh + 1, 1, dz_ref.shape[2]), dz_ref.dtype)
+    dz_ref[:, 0:1, :] = zc
+    dz_ref[:, wz + 1:wz + 2, :] = zc
+    dz_ref[:, wz + 2:wz + 3, :] = zc
     dp = dp_ref[0]
     # Mosaic has no bf16 vector compare on this target — route in f32.
     mask = (p_ref[0].astype(jnp.float32) > 0).astype(jnp.float32)
@@ -648,8 +654,11 @@ def _conv2x2_bwd_kernel(dp_ref, i_ref, p_ref, w_ref, o_ref, dz_ref, *,
     # and 2 on the last (the final two scratch rows are dz[hz], dz[hz+1]
     # — both zero). Middle bands copy 1:1. Requires nbands >= 2, bh >= 2,
     # hz >= bh + 1 (the caller falls back to XLA otherwise).
+    zr = jnp.zeros((1, wz, dz_ref.shape[2]), dz_ref.dtype)
+
     @pl.when(hi == 0)
     def _first():
+        dz_ref[0:1, 1:wz + 1, :] = zr
         dz_ref[1:bh + 1, 1:wz + 1, :] = route(slice(0, bh))
 
     @pl.when((hi != 0) & (hi != nbands - 1))
@@ -659,6 +668,8 @@ def _conv2x2_bwd_kernel(dp_ref, i_ref, p_ref, w_ref, o_ref, dz_ref, *,
     @pl.when(hi == nbands - 1)
     def _last():
         dz_ref[0:bh - 1, 1:wz + 1, :] = route(slice(2, bh + 1))
+        dz_ref[bh - 1:bh, 1:wz + 1, :] = zr
+        dz_ref[bh:bh + 1, 1:wz + 1, :] = zr
 
     acc = jnp.zeros((bh * wo, 4 * cin), jnp.float32)
     for t in range(4):
