@@ -25,7 +25,7 @@ sys.path.insert(0, REPO)
 # default-on, vs the unpacked 9-tap form it replaced.
 VARIANTS = [
     ("default", {}, {}),
-    ("no_packed1", {"ST3D_NO_PACKED1": "1"}, {}),
+    ("fused_gram2", {"ST3D_FUSED_GRAM2": "1"}, {}),
 ]
 
 
