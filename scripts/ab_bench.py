@@ -25,7 +25,8 @@ sys.path.insert(0, REPO)
 # default-on, vs the unpacked 9-tap form it replaced.
 VARIANTS = [
     ("default", {}, {}),
-    ("fused_gram2", {"ST3D_FUSED_GRAM2": "1"}, {}),
+    ("no_fused_gram2", {"ST3D_NO_FUSED_GRAM2": "1"}, {}),
+    ("no_packed1", {"ST3D_NO_PACKED1": "1"}, {}),
 ]
 
 

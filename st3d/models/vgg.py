@@ -296,12 +296,15 @@ def get_features(
                 feats["conv1_1:gram"] = g
         elif (gram1 and conv_i == TAP_CONV_INDEX["conv2_1"]
               and "conv2_1" in wanted
-              and os.environ.get("ST3D_FUSED_GRAM2")
+              and not os.environ.get("ST3D_NO_FUSED_GRAM2")
               and conv_i in _pallas_convs() and _pallas_conv_ok(x)):
-            # Experimental (env ST3D_FUSED_GRAM2): conv2_1's Gram
-            # accumulated inside the conv kernel's VMEM band — the tap is
-            # never exported to a second consumer (same motivation as the
-            # algebraic conv1_1 Gram above).
+            # conv2_1's Gram accumulated inside the conv kernel's VMEM
+            # band — the tap is never exported to a second consumer (same
+            # motivation as the algebraic conv1_1 Gram above). Default ON
+            # since round 3's packed conv1_2 landed (ab_bench medians
+            # 35.53 vs 34.64 it/s, +2.6%; it was noise-level before —
+            # the packed layout removed the ops this fusion used to hide
+            # behind). Env ST3D_NO_FUSED_GRAM2 reverts for A/B.
             from st3d.kernels.conv_pallas import conv3x3_bias_gram
 
             x, g2 = conv3x3_bias_gram(x, w, b)

@@ -348,3 +348,39 @@ def test_conv_packed_pool_idx_first_max_wins():
     np.testing.assert_array_equal(np.asarray(i2), expect_i)
     np.testing.assert_array_equal(np.asarray(i1), expect_i)
     assert (expect_i > 0).any()                 # ties + non-ties exercised
+
+
+def test_conv_packed_pool_bf16_interpret():
+    """bf16 packed kernel in interpret mode: values match the bf16 XLA
+    chain loosely (accumulation-order rounding) and the idx map stays in
+    range — catches dtype regressions (e.g. in-kernel compares must run
+    in f32: Mosaic has no bf16 vector compare on TPU)."""
+    from st3d.kernels.conv_pallas import conv3x3_bias_relu_pool_packed
+
+    key = jax.random.PRNGKey(37)
+    x = jax.random.normal(key, (2, 32, 16, 8), jnp.bfloat16)
+    w = (jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 8, 16),
+                           jnp.float32) * 0.1).astype(jnp.bfloat16)
+    b = jax.random.normal(jax.random.fold_in(key, 2), (16,), jnp.bfloat16)
+
+    def ref(xx):
+        y = jax.lax.conv_general_dilated(
+            xx, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.bfloat16) + b
+        y = jnp.maximum(y, 0.0)
+        return jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+    p, idx = jax.jit(
+        lambda xx: conv3x3_bias_relu_pool_packed(xx, w, b, True))(x)
+    assert p.dtype == jnp.bfloat16 and idx.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(p, np.float32), np.asarray(ref(x), np.float32),
+        atol=0.05, rtol=0.05)
+    assert set(np.unique(np.asarray(idx, np.float32))) <= {0., 1., 2., 3.}
+    g = jax.grad(lambda xx: jnp.sum(conv3x3_bias_relu_pool_packed(
+        xx, w, b, True)[0].astype(jnp.float32)))(x)
+    assert g.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
+    assert float(jnp.abs(g.astype(jnp.float32)).max()) > 0
