@@ -22,6 +22,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -30,6 +31,16 @@ CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
 SIZE = 512
 VIEWS = 4
 TIMED_STEPS = 50
+
+# TPU measurement resilience (VERDICT r3 item 1: one transient backend-init
+# failure must not kill the round's official artifact). Each attempt runs in
+# a FRESH subprocess — JAX caches a failed backend init for the process
+# lifetime, so in-process retries can never recover. The last attempt also
+# disables the persistent compile cache (stale 200MB AOT blobs after a
+# libtpu skew are the one implicated local state, MULTICHIP_r01).
+TPU_ATTEMPTS = 3
+ATTEMPT_TIMEOUT_S = 3000  # compile is ~450s fresh; leave wide margin
+BACKOFF_S = (20, 60)
 
 
 def build_step(dtype_name: str = "bfloat16", gram1: bool = True):
@@ -237,6 +248,84 @@ def measure(tag: str, dtype_name: str = "bfloat16") -> dict:
     }
 
 
+def _warn_other_tpu_processes() -> None:
+    """Best-effort: warn (never kill) if another python looks TPU-bound —
+    concurrent TPU processes serialize on the single tunneled chip and the
+    timing windows measure the contention, not the program."""
+    me = os.getpid()
+    suspects = []
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\0", b" ").decode(
+                        "utf-8", "replace")
+                with open(f"/proc/{pid}/comm") as f:
+                    comm = f.read().strip()
+            except OSError:
+                continue
+            if not comm.startswith("python"):
+                continue
+            if any(t in cmd for t in ("bench", "tpu_smoke", "perf_trace",
+                                      "ab_bench", "second_approach",
+                                      "first_approach", "fleet")):
+                suspects.append(f"pid {pid}: {cmd.strip()[:120]}")
+    except OSError:
+        return
+    if suspects:
+        print("WARNING: other python processes that may hold the TPU "
+              "(timings will be contended):\n  " + "\n  ".join(suspects),
+              file=sys.stderr)
+
+
+def _measure_tpu_with_retries(dtype_name: str) -> dict:
+    """Run the TPU measurement in a fresh subprocess, retrying on failure
+    (see the TPU_ATTEMPTS note at the top). Returns the result dict or
+    raises RuntimeError with the last failure's diagnostics."""
+    last_tail = ""
+    for attempt in range(TPU_ATTEMPTS):
+        env = os.environ.copy()
+        if attempt == TPU_ATTEMPTS - 1:
+            env["ST3D_COMPILE_CACHE"] = ""  # stale-AOT-blob suspicion
+            print("bench: last attempt runs with the persistent compile "
+                  "cache DISABLED", file=sys.stderr)
+        out_path = tempfile.mktemp(prefix="bench_tpu_", suffix=".json")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--measure-tpu-child", "--out", out_path,
+                 "--dtype", dtype_name],
+                cwd=REPO, env=env, timeout=ATTEMPT_TIMEOUT_S,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            tail = proc.stdout.decode("utf-8", "replace")
+            sys.stderr.write(tail[-8000:])
+            if proc.returncode == 0 and os.path.isfile(out_path):
+                with open(out_path) as f:
+                    return json.load(f)
+            last_tail = tail[-2000:]
+            print(f"bench: TPU measurement attempt {attempt + 1}/"
+                  f"{TPU_ATTEMPTS} failed (rc={proc.returncode})",
+                  file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            last_tail = f"attempt timed out after {ATTEMPT_TIMEOUT_S}s"
+            print(f"bench: TPU measurement attempt {attempt + 1} "
+                  f"timed out after {ATTEMPT_TIMEOUT_S}s", file=sys.stderr)
+        finally:
+            if os.path.isfile(out_path):
+                os.unlink(out_path)
+        if attempt < TPU_ATTEMPTS - 1:
+            wait = BACKOFF_S[min(attempt, len(BACKOFF_S) - 1)]
+            print(f"bench: retrying in {wait}s...", file=sys.stderr)
+            time.sleep(wait)
+    raise RuntimeError(
+        "TPU measurement failed after "
+        f"{TPU_ATTEMPTS} attempts; last failure tail:\n{last_tail}"
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-baseline", action="store_true",
@@ -246,6 +335,11 @@ def main() -> int:
                     choices=["bfloat16", "float32"],
                     help="VGG compute dtype for the TPU measurement "
                     "(bf16 is the production configuration)")
+    ap.add_argument("--measure-tpu-child", action="store_true",
+                    help=argparse.SUPPRESS)  # internal: one TPU attempt
+    ap.add_argument("--out", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--no-retry", action="store_true",
+                    help="measure in-process, no subprocess retries")
     args = ap.parse_args()
 
     if args.cpu_baseline:
@@ -260,6 +354,19 @@ def main() -> int:
         print(json.dumps(res), file=sys.stderr)
         return 0
 
+    if args.measure_tpu_child:
+        # One measurement attempt; all human-readable output to stderr so a
+        # parent can forward it, result JSON to --out.
+        import jax
+
+        print(f"child: backend={jax.default_backend()} "
+              f"devices={jax.devices()}", file=sys.stderr)
+        res = measure("tpu", dtype_name=args.dtype)
+        print(json.dumps(res, indent=1), file=sys.stderr)
+        with open(args.out, "w") as f:
+            json.dump(res, f)
+        return 0
+
     if not os.path.isfile(CACHE) or args.refresh_baseline:
         print("measuring CPU baseline (one-time, cached)...", file=sys.stderr)
         subprocess.run(
@@ -270,8 +377,12 @@ def main() -> int:
     with open(CACHE) as f:
         baseline = json.load(f)
 
-    res = measure("tpu", dtype_name=args.dtype)
-    print(json.dumps(res, indent=1), file=sys.stderr)
+    _warn_other_tpu_processes()
+    if args.no_retry:
+        res = measure("tpu", dtype_name=args.dtype)
+        print(json.dumps(res, indent=1), file=sys.stderr)
+    else:
+        res = _measure_tpu_with_retries(args.dtype)
     vs = res["iters_per_sec"] / max(baseline["iters_per_sec"], 1e-9)
     print(json.dumps({
         "metric": (

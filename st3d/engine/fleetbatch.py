@@ -347,9 +347,10 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
                 for k, v in feats.items()
             }
             per_grid = jax.vmap(
-                _multi_style_content_loss, in_axes=(0, 0, None, None, None)
+                _multi_style_content_loss,
+                in_axes=(0, 0, None, None, None, None),
             )(feats, cfeat, style_grams, cfg.style_weight,
-              cfg.content_weight)  # (M, S)
+              cfg.content_weight, size)  # (M, S)
             if cell_mask is not None:
                 # Padded cells: zero loss => zero grads => Adam leaves their
                 # (duplicate) textures untouched; real cells are unaffected.

@@ -65,7 +65,7 @@ from st3d.utils.logging import RunLogger
 
 
 def _multi_style_content_loss(feats, content_features, style_grams,
-                              style_weight, content_weight):
+                              style_weight, content_weight, image_h):
     """Per-style reference loss on features carrying a leading style axis.
 
     feats: {layer: (S, B, H, W, C)} NHWC taps in the compute dtype (the TPU
@@ -74,12 +74,12 @@ def _multi_style_content_loss(feats, content_features, style_grams,
     {layer: (S, B, C, C)}. Returns (S,) per-style losses.
 
     A ``"<layer>:gram"`` key (get_features ``gram1=True``) carries the Gram
-    directly; its divisor height is the image height — conv1_1 is the only
-    such layer and runs at full resolution (content_features are conv4_2,
-    at 1/8 scale).
+    directly; its divisor height derives from ``image_h``, the ACTUAL input
+    image height (passed explicitly — reconstructing it as conv4_2 height
+    * 8 mis-scales the C²·H² divisor when the size is not a multiple of 8,
+    since the maxpools floor; advisor r3).
     """
     cf32 = content_features.astype(jnp.float32)
-    image_h = content_features.shape[-3] * 8
 
     def one_style(feats_s, grams_s):
         content_loss = mse_loss(
@@ -90,6 +90,7 @@ def _multi_style_content_loss(feats, content_features, style_grams,
             if layer + ":gram" in feats_s:
                 g = feats_s[layer + ":gram"]
                 scale = {"conv1_1": 1, "conv2_1": 2}[layer]
+                # floor-div matches the maxpools' floor semantics exactly.
                 c, h = g.shape[-1], image_h // scale
             else:
                 f = feats_s[layer]
@@ -226,7 +227,7 @@ def run_multistyle(cfg: PipelineConfig, style_paths: Sequence[str],
             }
             per_style = _multi_style_content_loss(
                 feats, content_features, style_grams,
-                cfg.style_weight, cfg.content_weight,
+                cfg.style_weight, cfg.content_weight, cfg.size,
             )
             return jnp.sum(per_style), per_style
 

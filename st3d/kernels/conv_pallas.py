@@ -52,7 +52,15 @@ def _tap_group(cin: int) -> int:
     (ab_bench interleaved medians): +0.7% as the default. Env
     ST3D_CONV_KGROUP={1,3,9} overrides."""
     env = os.environ.get("ST3D_CONV_KGROUP")
-    g = int(env) if env else 9
+    if env:
+        if env not in ("1", "3", "9"):  # advisor r3: fail loud, not silent
+            raise ValueError(
+                f"ST3D_CONV_KGROUP={env!r}: must be one of 1, 3, 9 "
+                "(taps contracted per matmul)"
+            )
+        g = int(env)
+    else:
+        g = 9
     return g if cin < 128 else 1
 
 

@@ -232,9 +232,18 @@ def get_features(
     second consumer (profiler: the tap's layout fork + the Gram cotangent
     re-entering the conv chain cost ~10ms/step at 512², PERF_NOTES §2).
     The returned key is ``"conv1_1:gram"`` ((B, 64, 64) float32); loss
-    consumers use it directly in place of gramming the tap. Same matrix as
-    ``gram_matrix_nhwc(tap)`` up to float reassociation. Disabled by env
-    ``ST3D_NO_GRAM1`` for A/B experiments.
+    consumers use it directly in place of gramming the tap. In f32 mode the
+    matrix equals ``gram_matrix_nhwc(tap)`` up to float reassociation
+    (torch-parity tested). In bf16 mode there is a SYSTEMATIC numerics
+    difference, not just reassociation noise: the tap route rounds the conv
+    output A to bf16 before gramming, while the algebraic route never
+    materializes A (PᵀP accumulates the bf16 patches in f32 and the W/b
+    terms apply in f32) — so against targets computed via
+    ``gram_matrix_nhwc`` the conv1_1 style term carries a small nonzero
+    floor of order the bf16 rounding of A (advisor r3). Measured: the bf16
+    A/B trajectory delta sits inside the run-to-run noise band
+    (tests/test_vgg.py::test_gram1_bf16_close_to_tap_route pins the
+    magnitude). Disabled by env ``ST3D_NO_GRAM1`` for A/B experiments.
     """
     if os.environ.get("ST3D_NO_GRAM1"):
         gram1 = False

@@ -82,6 +82,17 @@ def test_tap_groupings_match_xla(monkeypatch, group, cin):
     )
 
 
+@pytest.mark.parametrize("bad", ["2", "banana", "0"])
+def test_kgroup_env_validated(monkeypatch, bad):
+    """ST3D_CONV_KGROUP outside {1,3,9} raises a clear error instead of
+    silently falling through to the ungrouped kernel (advisor r3)."""
+    from st3d.kernels.conv_pallas import _tap_group
+
+    monkeypatch.setenv("ST3D_CONV_KGROUP", bad)
+    with pytest.raises(ValueError, match="ST3D_CONV_KGROUP"):
+        _tap_group(64)
+
+
 @pytest.mark.parametrize("shape", [
     ((1, 32, 16, 8)),   # bh=16, 2 bands: first/last-band zero-halo logic
     ((1, 48, 16, 8)),   # 3 bands: interior band takes the base=0 path

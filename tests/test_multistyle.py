@@ -131,7 +131,7 @@ def test_multi_style_loss_gram_keys_match_tap_path():
                     jnp.float32)
     ).reshape(s, b, shapes[l][1], shapes[l][1]) for l in STYLE_LAYERS}
 
-    want = _multi_style_content_loss(feats, cfeat, grams, 1e6, 1.0)
+    want = _multi_style_content_loss(feats, cfeat, grams, 1e6, 1.0, size)
 
     feats_g = dict(feats)
     for l in ("conv1_1", "conv2_1"):
@@ -139,5 +139,5 @@ def test_multi_style_loss_gram_keys_match_tap_path():
             gram_matrix_nhwc(feats[l][i]) for i in range(s)
         ])
         del feats_g[l]
-    got = _multi_style_content_loss(feats_g, cfeat, grams, 1e6, 1.0)
+    got = _multi_style_content_loss(feats_g, cfeat, grams, 1e6, 1.0, size)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)

@@ -203,3 +203,37 @@ def test_style_content_loss_gram1_path():
     np.testing.assert_allclose(
         np.asarray(g_alg), np.asarray(g_ref), rtol=2e-3, atol=3e-5
     )
+
+
+def test_gram1_bf16_close_to_tap_route():
+    """Pin the bf16-mode asymmetry of the algebraic conv1_1 Gram (advisor
+    r3): the tap route rounds the conv output A to bf16 before gramming;
+    the algebraic route never materializes A. The two routes must stay
+    within bf16 rounding of each other (relative ~2^-8 per element, i.e.
+    well under 1% on the Gram), so the style-loss floor this creates is
+    inside the optimization's noise band — not a correctness fork."""
+    from st3d.ops.losses import gram_matrix_nhwc
+
+    model = init_random_vgg19(0)
+    imgs = jnp.asarray(
+        np.random.RandomState(11).rand(2, 3, 32, 32), jnp.float32
+    )
+
+    f_tap = get_features(imgs, model, dtype=jnp.bfloat16, layout="NHWC")
+    g_tap = np.asarray(gram_matrix_nhwc(f_tap["conv1_1"]), np.float64)
+    f_alg = get_features(imgs, model, dtype=jnp.bfloat16, layout="NHWC",
+                         gram1=True)
+    g_alg = np.asarray(f_alg["conv1_1:gram"], np.float64)
+
+    scale = np.abs(g_tap).max()
+    rel = np.abs(g_alg - g_tap).max() / scale
+    # bf16 mantissa is 8 bits; the Gram averages the per-element rounding
+    # over H*W pixels, so the relative gap lands far below a single ulp of
+    # one element. 1% is the documented bound (vgg.py gram1 docstring).
+    assert rel < 0.01, rel
+    # And it is genuinely a bf16 effect: f32 mode agrees to reassociation.
+    g32_tap = np.asarray(gram_matrix_nhwc(
+        get_features(imgs, model, layout="NHWC")["conv1_1"]), np.float64)
+    g32_alg = np.asarray(get_features(
+        imgs, model, layout="NHWC", gram1=True)["conv1_1:gram"], np.float64)
+    assert np.abs(g32_alg - g32_tap).max() / scale < 1e-4
