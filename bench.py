@@ -178,6 +178,17 @@ def measure(tag: str, dtype_name: str = "bfloat16") -> dict:
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
         (params, opt_state),
     )
+    # AOT executable cache (st3d.utils.aot): a warm repeat skips the
+    # multi-minute remote compile entirely (the persistent compilation
+    # cache measurably does NOT on the axon path, PERF_NOTES). Fails soft:
+    # any load/serialize problem falls back to a normal compile.
+    from_aot, aot_meta = False, ""
+    if not os.environ.get("ST3D_NO_AOT"):
+        from st3d.utils.aot import load_or_compile
+
+        steps, from_aot, aot_meta = load_or_compile(
+            steps, arg_specs, tag=f"bench_{SIZE}_{dtype_name}"
+        )
     params, opt_state, losses = steps(params, opt_state)  # compile + warmup
     losses.block_until_ready()
     compile_s = time.time() - t_setup
@@ -199,14 +210,28 @@ def measure(tag: str, dtype_name: str = "bfloat16") -> dict:
     # XLA's own FLOP count of the compiled step program (the honest MFU
     # numerator: includes raster epilogue, Grams, optimizer — everything
     # the analytic VGG-conv count excludes). Per optimization step = / n.
-    # Runs AFTER timing: the AOT lower().compile() is a second compile on
-    # some backends and must not pollute compile_s (it hits the persistent
-    # cache on repeats).
+    # Runs AFTER timing. With the AOT cache, `steps` IS the compiled
+    # executable — cost_analysis comes straight off it (no second
+    # compile); the result is persisted in the AOT meta sidecar because a
+    # DESERIALIZED executable cannot produce it.
     xla_flops = None
     try:
-        ca = steps.lower(*arg_specs).compile().cost_analysis()
-        if ca and ca.get("flops", 0) > 0:
-            xla_flops = float(ca["flops"]) / n
+        if aot_meta and os.path.isfile(aot_meta):
+            with open(aot_meta) as f:
+                xla_flops = json.load(f).get("xla_flops_per_step")
+        if xla_flops is None:
+            if hasattr(steps, "cost_analysis"):          # Compiled (AOT)
+                ca = steps.cost_analysis()
+            else:
+                ca = steps.lower(*arg_specs).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else None
+            if ca and ca.get("flops", 0) > 0:
+                xla_flops = float(ca["flops"]) / n
+            if xla_flops is not None and aot_meta:
+                os.makedirs(os.path.dirname(aot_meta), exist_ok=True)
+                with open(aot_meta, "w") as f:
+                    json.dump({"xla_flops_per_step": xla_flops}, f)
     except Exception as e:  # pragma: no cover - cost analysis is best-effort
         print(f"cost_analysis unavailable: {e}", file=sys.stderr)
 
@@ -242,6 +267,7 @@ def measure(tag: str, dtype_name: str = "bfloat16") -> dict:
                              if mfu_analytic is not None else None),
         "peak_tflops_bf16": peak / 1e12,
         "compile_s": compile_s,
+        "aot_warm_start": from_aot,
         "last_loss": float(losses[-1]),
         "timed_steps": done,
         "rate_windows": [round(r, 3) for r in rates],

@@ -21,13 +21,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 # (name, env overrides applied at TRACE time, build_step kwargs)
-# Current ablation: the space-to-depth packed conv1_2 (+in-kernel pool1),
-# default-on, vs the unpacked 9-tap form it replaced.
+# Round-4 ablation: the v2 packed-conv1_2 backward routing (direct
+# channel-range stores vs the 4x64-lane concat; PERF_NOTES bwd-roofline
+# gap). Override via $ST3D_AB_VARIANTS="name=ENV:VAL+ENV2:VAL2,name2=".
 VARIANTS = [
     ("default", {}, {}),
-    ("no_fused_gram2", {"ST3D_NO_FUSED_GRAM2": "1"}, {}),
-    ("no_packed1", {"ST3D_NO_PACKED1": "1"}, {}),
+    ("packed_bwd_v2", {"ST3D_PACKED_BWD": "v2"}, {}),
 ]
+
+if os.environ.get("ST3D_AB_VARIANTS"):
+    VARIANTS = []
+    for spec in os.environ["ST3D_AB_VARIANTS"].split(","):
+        name, _, envs = spec.partition("=")
+        env = {}
+        for pair in envs.split("+"):
+            if pair:
+                k, _, v = pair.partition(":")
+                env[k] = v
+        VARIANTS.append((name, env, {}))
 
 
 def main() -> int:

@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-4 TPU measurement batch (run serially — ONE TPU process at a time;
+# see CLAUDE.md). Each stage appends to /tmp/perf_r4.log and writes its
+# artifact; stages are independent so a failure doesn't kill the batch.
+set -u
+cd /root/repo
+LOG=/tmp/perf_r4.log
+echo "=== perf_r4 start $(date) ===" >> "$LOG"
+
+run() {
+  local name="$1" tmo="$2"; shift 2
+  echo "--- $name: $* ($(date)) ---" >> "$LOG"
+  timeout "$tmo" "$@" >> "$LOG" 2>&1
+  echo "--- $name rc=$? ($(date)) ---" >> "$LOG"
+}
+
+# 0. End-to-end CLI drive (verify recipe): tiny first approach on TPU —
+#    exercises hot loop A (NHWC), MSE phase, renders, log/obj outputs.
+run verify_cli 3000 python first_approach.py --size 128 --n_views 2 \
+  --batch_size 2 --n_style_transfer_steps 20 --n_mse_steps 10 \
+  --output_path /tmp/verify_out
+
+# 1. Kernel/donation smoke (regenerates TPU_SMOKE.json; must stay green).
+run smoke 3600 python scripts/tpu_smoke.py
+
+# 2. Hot loop A (2D ST) throughput with the NHWC buffer (VERDICT item 3).
+run st2d 3000 python scripts/bench_st2d.py
+
+# 3. Packed-bwd v1 vs v2 interleaved A/B (VERDICT item 5b).
+run ab_packed_bwd 3600 python scripts/ab_bench.py 7
+
+# 4. Official bench, cold (writes the AOT executable blob).
+#    bench.py retries internally (3 x 3000s) — generous outer bound.
+run bench_cold 10000 python bench.py
+
+# 5. Official bench, warm (AOT load — VERDICT item 7 evidence).
+run bench_warm 10000 python bench.py
+
+# 6. Resolution ladder with MFU (VERDICT item 2) -> BENCH_LADDER.json.
+run ladder 9000 python scripts/bench_ladder.py
+
+echo "=== perf_r4 done $(date) ===" >> "$LOG"

@@ -61,6 +61,8 @@ class PipelineConfig:
     soft_raster: bool = False             # SoftRas silhouette gradients
     faces_per_pixel: int = 1              # K>1 (with soft) = softmax-z blend
     soft_sigma_px: float = 1.0            # soft coverage sigmoid width
+    blur_radius: float = 0.0              # PyTorch3D squared-NDC admission
+    hard_k_slack: int = 4                 # extra hard-K selection slots
     vgg_weights: Optional[str] = None
     auto_uv: str = "none"                 # none | sphere | face_atlas
     save_intermediate: bool = True        # per-step current_images (2nd appr.)
@@ -120,6 +122,12 @@ def _add_shared(p: argparse.ArgumentParser) -> None:
     p.add_argument("--soft_sigma_px", default=1.0, type=float)
     p.add_argument("--faces_per_pixel", default=1, type=int,
                    help="K>1 (requires --soft_raster) = full SoftRas")
+    p.add_argument("--blur_radius", default=0.0, type=float,
+                   help="PyTorch3D hard-mode blur window (squared NDC "
+                   "distance; non-covering faces within it are candidates)")
+    p.add_argument("--hard_k_slack", default=4, type=int,
+                   help="extra hard-K selection slots absorbing proxy-only "
+                   "candidates (raise when the saturation warning fires)")
     p.add_argument("--vgg_weights", default=None, type=str)
     p.add_argument("--auto_uv", default="none", type=str,
                    choices=["none", "sphere", "face_atlas"],

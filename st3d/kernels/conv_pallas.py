@@ -35,7 +35,14 @@ from jax.experimental import pallas as pl
 # the row band must shrink with BOTH width and channel count: a fixed
 # 16-row band fits 512-wide/64ch but OOMs the 16MB scoped limit at 768-wide
 # (width) and at 64-wide/512ch with a pixel-only rule (channels).
+# Env ST3D_CONV_BLOCK_PIXELS overrides for ladder-tuning A/Bs (values too
+# large OOM Mosaic's 16MB scoped VMEM — see CLAUDE.md).
 BLOCK_PIXELS_64CH = 8192
+
+
+def _block_pixels() -> int:
+    env = os.environ.get("ST3D_CONV_BLOCK_PIXELS")
+    return int(env) if env else BLOCK_PIXELS_64CH
 
 
 def _tap_group(cin: int) -> int:
@@ -71,10 +78,10 @@ def _band_rows(h: int, wi: int, cin: int, cout: int, itemsize: int,
         # padding the scratch dominates at ~1.3KB/px (cin=64, bf16), so
         # cap the band at ~2048 px (bh=4 at 512-wide: scratch+acc+blocks
         # ≈ 6MB, inside the 16MB scoped VMEM with double buffering).
-        budget = max(256, (BLOCK_PIXELS_64CH // 4) * 64
+        budget = max(256, (_block_pixels() // 4) * 64
                      // max(cin, cout, 64))
     else:
-        budget = max(256, BLOCK_PIXELS_64CH * 64 // max(cin, cout, 64))
+        budget = max(256, _block_pixels() * 64 // max(cin, cout, 64))
     budget = budget * 2 // max(2, itemsize)   # sized for bf16; halve for f32
     bh = max(1, min(h, 16, budget // max(1, wi)))
     while h % bh:
@@ -642,19 +649,36 @@ def _conv2x2_bwd_kernel(dp_ref, i_ref, p_ref, w_ref, o_ref, dz_ref, *,
     dz_ref[:, 0:1, :] = zc
     dz_ref[:, wz + 1:wz + 2, :] = zc
     dz_ref[:, wz + 2:wz + 3, :] = zc
-    dp = dp_ref[0]
     # Mosaic has no bf16 vector compare on this target — route in f32.
-    mask = (p_ref[0].astype(jnp.float32) > 0).astype(jnp.float32)
+    # The relu-masked product is hoisted out of the per-band branches (it
+    # only depends on the block, not the routing offsets).
+    d_all = (dp_ref[0].astype(jnp.float32)
+             * (p_ref[0].astype(jnp.float32) > 0).astype(jnp.float32))
     idx = i_ref[0].astype(jnp.float32)
+    v2 = os.environ.get("ST3D_PACKED_BWD") == "v2"
 
     def route(rows):
         # rows: slice of the block's row axis; returns routed dz rows.
-        d = dp[rows].astype(jnp.float32) * mask[rows]
+        d = d_all[rows]
         ix = idx[rows]
         return jnp.concatenate(
             [(d * (ix == float(q)).astype(jnp.float32)).astype(
                 dz_ref.dtype) for q in range(4)], axis=-1
         )
+
+    def route_store(src, dst_lo, n):
+        # v2 routing (env ST3D_PACKED_BWD=v2): four direct channel-range
+        # stores instead of a 4x64-lane concatenate — the concat is a lane
+        # relayout Mosaic builds out of masks/selects; separate stores let
+        # the memory unit do the placement (A/B candidate for the bwd's
+        # 2x gap to its packed roofline, PERF_NOTES 116-118).
+        d = d_all[src]
+        ix = idx[src]
+        for q in range(4):
+            dz_ref[dst_lo:dst_lo + n, 1:wz + 1,
+                   q * cout:(q + 1) * cout] = (
+                d * (ix == float(q)).astype(jnp.float32)
+            ).astype(dz_ref.dtype)
 
     # Scratch row j holds dz[hi*bh - 1 + j] (zero outside [0, hz)); the
     # dp/i/p block sits at row clip(hi*bh - 1, 0, hz - bh - 1), so the
@@ -667,15 +691,24 @@ def _conv2x2_bwd_kernel(dp_ref, i_ref, p_ref, w_ref, o_ref, dz_ref, *,
     @pl.when(hi == 0)
     def _first():
         dz_ref[0:1, 1:wz + 1, :] = zr
-        dz_ref[1:bh + 1, 1:wz + 1, :] = route(slice(0, bh))
+        if v2:
+            route_store(slice(0, bh), 1, bh)
+        else:
+            dz_ref[1:bh + 1, 1:wz + 1, :] = route(slice(0, bh))
 
     @pl.when((hi != 0) & (hi != nbands - 1))
     def _mid():
-        dz_ref[0:bh + 1, 1:wz + 1, :] = route(slice(0, bh + 1))
+        if v2:
+            route_store(slice(0, bh + 1), 0, bh + 1)
+        else:
+            dz_ref[0:bh + 1, 1:wz + 1, :] = route(slice(0, bh + 1))
 
     @pl.when(hi == nbands - 1)
     def _last():
-        dz_ref[0:bh - 1, 1:wz + 1, :] = route(slice(2, bh + 1))
+        if v2:
+            route_store(slice(2, bh + 1), 0, bh - 1)
+        else:
+            dz_ref[0:bh - 1, 1:wz + 1, :] = route(slice(2, bh + 1))
         dz_ref[bh - 1:bh, 1:wz + 1, :] = zr
         dz_ref[bh:bh + 1, 1:wz + 1, :] = zr
 

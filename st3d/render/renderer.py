@@ -81,6 +81,29 @@ def render_rgba(
     return jax.vmap(one_view)(fv, frags.pix_to_face)
 
 
+def warn_if_hard_k_saturated(
+    mesh: Mesh,
+    cameras: FoVPerspectiveCameras,
+    settings: RasterizationSettings,
+    context: str = "render",
+) -> int:
+    """Pipeline-level hard-K saturation check (VERDICT r3 item 6): when the
+    config uses blur_radius > 0 or faces_per_pixel > 1 in hard mode,
+    rasterize once and warn (with the raise-``hard_k_slack`` remedy) if the
+    selection was saturated anywhere. Returns the at-risk pixel count;
+    instant 0 for configs that cannot saturate (the default K=1/blur=0)."""
+    if settings.soft or (
+        float(settings.blur_radius) == 0.0 and settings.faces_per_pixel == 1
+    ):
+        return 0
+    from st3d.render.topk import check_hard_k_saturation
+
+    fv = face_verts_screen(
+        mesh.verts, mesh.faces, cameras, settings.image_size
+    )
+    return check_hard_k_saturation(fv, settings, context=context)
+
+
 def render_meshes(
     mesh: Mesh,
     cameras: FoVPerspectiveCameras,

@@ -1,0 +1,119 @@
+"""AOT executable serialization: skip the multi-minute TPU compile on warm
+starts (VERDICT r3 item 7).
+
+Round-3 measured that JAX's persistent *compilation cache* does NOT help
+the axon remote-compile path (entries are written, a fresh process
+recompiles anyway — PERF_NOTES). This module attacks the same tax one
+level lower: serialize the compiled PJRT *executable* itself
+(``jax.experimental.serialize_executable``) keyed on everything that can
+invalidate it — jax version, device kind, the runtime's platform_version
+(which carries the libtpu build), and a fingerprint of the lowered HLO.
+On a key hit the executable is deserialized and loaded, skipping
+compilation entirely; any failure (key miss, deserialize error after a
+libtpu upgrade, an unsupported backend) falls back to a normal compile
+and refreshes the cache entry.
+
+Reference basis: none (the reference is eager torch); this is TPU
+framework infrastructure, same motivation as utils/compilecache.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import sys
+
+_DEFAULT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))),
+    ".jax_aot",
+)
+
+
+def aot_cache_dir() -> str:
+    """$ST3D_AOT_CACHE > <repo>/.jax_aot; empty env value disables."""
+    env = os.environ.get("ST3D_AOT_CACHE")
+    if env is not None:
+        return env  # '' = disabled
+    return _DEFAULT_DIR
+
+
+def _environment_key() -> str:
+    import jax
+
+    dev = jax.devices()[0]
+    client = getattr(dev, "client", None)
+    platver = getattr(client, "platform_version", "?")
+    return f"jax={jax.__version__};kind={dev.device_kind};rt={platver}"
+
+
+def load_or_compile(jitted, example_args, tag: str, verbose: bool = True):
+    """Return a compiled executable for ``jitted`` at ``example_args``'
+    shapes/dtypes, loading it from the AOT cache when the environment+HLO
+    key matches and compiling (then caching) otherwise.
+
+    ``example_args``: the positional args tuple (arrays or
+    ShapeDtypeStructs). The returned object is the ``.compile()``d
+    executable — call it with the real arrays. Returns ``(compiled,
+    from_cache, meta_path)`` where ``meta_path`` is a stable sidecar path
+    (same key) callers can use for compile-time byproducts (e.g. the
+    cost_analysis FLOP count, which is unavailable on a deserialized
+    executable); '' when caching is disabled.
+    """
+    import jax
+
+    cache_dir = aot_cache_dir()
+    lowered = jitted.lower(*example_args)
+    if not cache_dir:
+        return lowered.compile(), False, ""
+
+    # Key: environment + the lowered module. as_text() of a big graph is a
+    # few MB — hashing it costs ms against a 450s compile.
+    try:
+        hlo = lowered.as_text()
+    except Exception:
+        hlo = repr(lowered)
+    key = hashlib.sha256(
+        (_environment_key() + "\x00" + tag + "\x00" + hlo).encode()
+    ).hexdigest()[:32]
+    path = os.path.join(cache_dir, f"{tag}_{key}.aot")
+    meta_path = os.path.join(cache_dir, f"{tag}_{key}.meta.json")
+
+    if os.path.isfile(path):
+        try:
+            from jax.experimental.serialize_executable import (
+                deserialize_and_load,
+            )
+
+            with open(path, "rb") as f:
+                payload, in_tree, out_tree = pickle.load(f)
+            compiled = deserialize_and_load(payload, in_tree, out_tree)
+            if verbose:
+                print(f"aot: loaded {tag} executable from {path} "
+                      "(compile skipped)", file=sys.stderr)
+            return compiled, True, meta_path
+        except Exception as e:  # stale/incompatible blob: recompile
+            if verbose:
+                print(f"aot: cached {tag} executable unusable ({e!r}); "
+                      "recompiling", file=sys.stderr)
+
+    compiled = lowered.compile()
+    try:
+        from jax.experimental.serialize_executable import serialize
+
+        payload, in_tree, out_tree = serialize(compiled)
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump((payload, in_tree, out_tree), f)
+        os.replace(tmp, path)
+        if verbose:
+            print(f"aot: serialized {tag} executable to {path} "
+                  f"({os.path.getsize(path) / 1e6:.1f} MB)",
+                  file=sys.stderr)
+    except Exception as e:  # serialization unsupported: documented fallback
+        if verbose:
+            print(f"aot: executable serialization unavailable ({e!r})",
+                  file=sys.stderr)
+    return compiled, False, meta_path

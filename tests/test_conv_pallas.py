@@ -326,6 +326,29 @@ def test_conv_packed_pool_matches_separate(shape, cout):
     assert float(jnp.abs(gf).max()) > 0
 
 
+def test_conv_packed_bwd_v2_bit_equal(monkeypatch):
+    """The v2 packed backward (direct channel-range stores instead of the
+    4x64-lane concat; env ST3D_PACKED_BWD=v2) is bit-identical to v1 —
+    routing placement only, no arithmetic change."""
+    from st3d.kernels.conv_pallas import conv3x3_bias_relu_pool_packed
+
+    key = jax.random.PRNGKey(41)
+    x = jax.random.normal(key, (2, 32, 24, 8), jnp.float32)
+    w = jax.random.normal(
+        jax.random.fold_in(key, 1), (3, 3, 8, 16), jnp.float32) * 0.1
+    b = jax.random.normal(jax.random.fold_in(key, 2), (16,), jnp.float32)
+
+    def loss(xx):
+        return jnp.sum(conv3x3_bias_relu_pool_packed(xx, w, b, True)[0] ** 2)
+
+    monkeypatch.delenv("ST3D_PACKED_BWD", raising=False)
+    g1 = jax.grad(loss)(x)
+    monkeypatch.setenv("ST3D_PACKED_BWD", "v2")
+    g2 = jax.grad(loss)(x)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    assert float(jnp.abs(g1).max()) > 0
+
+
 def test_conv_packed_pool_idx_first_max_wins():
     """Tie routing: with a delta kernel (only the center tap nonzero) the
     conv is an exact copy in BOTH the packed and unpacked accumulation
