@@ -39,4 +39,11 @@ run bench_warm 10000 python bench.py
 # 6. Resolution ladder with MFU (VERDICT item 2) -> BENCH_LADDER.json.
 run ladder 9000 python scripts/bench_ladder.py
 
+# 7. Per-HLO-op trace at 768² (diagnose the MFU drop at the reference's
+#    default size, VERDICT weakness 2).
+run trace768 4000 python scripts/perf_trace.py /tmp/trace768.json --size 768
+
+# 8. Config-5 flagship on the real chip (VERDICT item 4) -> FLEET_TPU.json.
+run fleet 6000 python scripts/fleet_tpu.py --size 256 --epochs 6
+
 echo "=== perf_r4 done $(date) ===" >> "$LOG"

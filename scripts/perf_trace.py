@@ -6,7 +6,7 @@ scan calls, parse the xplane with xprof's hlo_stats converter, divide by
 50 steps (2 calls x 25 scanned). The `while` row wraps the whole scan —
 excluded from the category sums.
 
-Usage: python scripts/perf_trace.py [out.json]
+Usage: python scripts/perf_trace.py [out.json] [--size N]
 """
 
 import glob
@@ -23,6 +23,11 @@ def main() -> int:
     import jax
 
     import bench
+
+    if "--size" in sys.argv:
+        i = sys.argv.index("--size")
+        bench.SIZE = int(sys.argv[i + 1])
+        del sys.argv[i:i + 2]
 
     assert jax.default_backend() == "tpu", "profile on the TPU backend"
     steps, params, opt_state, n = bench.build_step("bfloat16")

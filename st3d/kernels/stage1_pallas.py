@@ -1,0 +1,443 @@
+"""Phase-aligned packed VGG stage 1: conv1_1 -> relu -> conv1_2 -> relu ->
+pool1 with ZERO XLA glue between the kernels (VERDICT r3 item 5a).
+
+Round 3's space-to-depth packed conv1_2 (conv_pallas.py) made the
+quarter-fill conv1_2 matmuls full-MXU, but its padded packing
+((B,H,W,C) -> pad -> 5D reshape) is not physically free under XLA tiling:
+the profiler attributes ~4.4ms/step of pad/reshape/slice glue to it at
+512², plus ~1.5ms for conv1_1's XLA im2col chain (PERF_NOTES "pack/unpack
+glue"). Both exist only because the packing phase was aligned to the
+PADDED image. This module re-derives the packing aligned to the UNPADDED
+image:
+
+    x5[b, Y, py, X, px*C + c] = x[b, 2Y+py, 2X+px, c]
+
+a pure row-major reshape (``pack_input5``). Under it the 3x3 SAME conv
+becomes a quad conv whose taps span ROW PHASES rp = qy+dy in {0..3} and
+COL PHASES cp = qx+dx in {0..3}; phase v maps to packed coordinates
+
+    PHASES[v] = [(-1,1), (0,0), (0,1), (1,0)][v]     # (t, p)
+
+so O[2Y+qy, 2X+qx, o] = sum_{dy,dx,c} x5[Y+ty, py, X+tx, px*C+c]
+· W[dy,dx,c,o] with (ty,py) = PHASES[qy+dy], (tx,px) = PHASES[qx+dx].
+Out-of-image phases contribute exact zeros (the SAME padding), staged as
+zeros into the quad-patch scratch (conv_pallas' nopad trick).
+
+The fused chain:
+
+  conv1_1_packed:  x5 (B,hp,2,wp,6) -> z5 (B,hp,2,wp,128)
+      [= packed relu(conv1_1(x)+b)] + quad-patch Gram stats G48/s48;
+      the algebraic conv1_1 Gram folds out of them (``fold_gram48``) —
+      same closed form as vgg.get_features' gram1, so the (B,H,W,64)
+      conv1_1 activation NEVER exists in unpacked form.
+  conv1_2_packed_pool: z5 -> (pooled (B,hp,wp,64), idx in {0..3}) — the
+      2x2 maxpool collapses to a channel-group max over the quad exactly
+      as in conv_pallas.conv3x3_bias_relu_pool_packed (first-max tie
+      routing on output-dtype values).
+
+Backward (phase 1): both custom VJPs differentiate a pure-jnp REFERENCE
+implementation of the identical math (``_conv1_1_packed_ref`` /
+``_conv1_2_ref``) — an exact gradient of the same function, not a
+hand-approximation (the kernels' forwards agree with the references up to
+float reassociation; equality-tested in tests/test_stage1_pallas.py).
+In-kernel backwards (emitting dz5 with the saved idx routing) are the
+phase-2 follow-up.
+
+Replaces the capability of the reference's first two VGG feature layers
+(style_transfer.py:10-27, torchvision modules 0-4). Gated by
+st3d.models.vgg to TPU + gram1 hot loops (env ST3D_STAGE1_V2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Packed (t, p) for conv-window phase v = q + d (q in {0,1}, d in {0,1,2},
+# minus the SAME offset: image row 2Y + q + d - 1 = 2(Y+t) + p).
+PHASES = ((-1, 1), (0, 0), (0, 1), (1, 0))
+
+
+# ---------------------------------------------------------------------------
+# Weight packing + pure-jnp references (also the phase-1 backward)
+# ---------------------------------------------------------------------------
+
+def pack_weights_phase(w, b):
+    """(3,3,cin,cout) HWIO -> ((16*cin, 4*cout), (4*cout,)). K order
+    (rp*4+cp)*cin + c; N order (qy*2+qx)*cout + o (pool-group order)."""
+    cin, cout = w.shape[2], w.shape[3]
+    wq = jnp.zeros((4, 4, cin, 2, 2, cout), w.dtype)
+    for qy in range(2):
+        for qx in range(2):
+            for dy in range(3):
+                for dx in range(3):
+                    wq = wq.at[qy + dy, qx + dx, :, qy, qx, :].set(w[dy, dx])
+    return wq.reshape(16 * cin, 4 * cout), jnp.tile(b, 4)
+
+
+def pack_input5(x):
+    """(B, H, W, C) -> (B, H/2, 2, W/2, 2C): pure row-major reshape."""
+    bsz, h, w, c = x.shape
+    return x.reshape(bsz, h // 2, 2, w // 2, 2 * c)
+
+
+def unpack_output5(x5):
+    """(B, hp, 2, wp, 2C) -> (B, H, W, C): the inverse reshape."""
+    bsz, hp, _, wp, c2 = x5.shape
+    return x5.reshape(bsz, hp * 2, wp * 2, c2 // 2)
+
+
+def quad_patches_ref(x5):
+    """(B, hp, 2, wp, 2*cin) -> (B, hp, wp, 16*cin) quad patches (zeros at
+    out-of-image phases). Pure jnp; the test oracle AND the phase-1
+    backward path (its VJP is the exact overlap-add fold)."""
+    cin = x5.shape[-1] // 2
+    hp, wp = x5.shape[1], x5.shape[3]
+    cols = []
+    for rp in range(4):
+        ty, py = PHASES[rp]
+        rows = x5[:, :, py, :, :]                      # (B, hp, wp, 2cin)
+        if ty == -1:
+            rows = jnp.pad(rows[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+        elif ty == 1:
+            rows = jnp.pad(rows[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+        for cp in range(4):
+            tx, px = PHASES[cp]
+            v = rows[..., px * cin:(px + 1) * cin]
+            if tx == -1:
+                v = jnp.pad(v[:, :, :-1], ((0, 0), (0, 0), (1, 0), (0, 0)))
+            elif tx == 1:
+                v = jnp.pad(v[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0)))
+            cols.append(v)
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _acc_to_z5(acc):
+    """(B, hp, wp, 256=(qy,qx,o)) -> (B, hp, 2, wp, 128=(qx,o))."""
+    bsz, hp, wp, n = acc.shape
+    return jnp.moveaxis(acc.reshape(bsz, hp, wp, 2, n // 2), 3, 2)
+
+
+def _conv1_1_packed_ref(x, w, b, dtype=None):
+    """Reference (z5, g48, s48) — identical math to the kernel."""
+    x5 = pack_input5(x)
+    p48 = quad_patches_ref(x5)
+    wq, bq = pack_weights_phase(w.astype(x.dtype), b.astype(x.dtype))
+    acc = jnp.einsum("bhwk,kn->bhwn", p48, wq,
+                     preferred_element_type=jnp.float32)
+    acc = jnp.maximum(acc + bq.astype(jnp.float32), 0.0)
+    z5 = _acc_to_z5(acc.astype(x.dtype))
+    g48 = jnp.einsum("bhwk,bhwl->bkl", p48, p48,
+                     preferred_element_type=jnp.float32)
+    s48 = jnp.sum(p48.astype(jnp.float32), axis=(1, 2))
+    return z5, g48, s48
+
+
+def _conv1_2_ref(z5, w, b):
+    """Reference (pooled, idx-free) — maxpool via group max (autodiff
+    routes its gradient by argmax; see module docstring on phase-1 ties)."""
+    p = quad_patches_ref(z5)
+    wq, bq = pack_weights_phase(w.astype(z5.dtype), b.astype(z5.dtype))
+    acc = jnp.einsum("bhwk,kn->bhwn", p, wq,
+                     preferred_element_type=jnp.float32)
+    acc = jnp.maximum(acc + bq.astype(jnp.float32), 0.0)
+    acc = acc.astype(z5.dtype).astype(jnp.float32)     # pool on out-dtype
+    cout = acc.shape[-1] // 4
+    g = acc.reshape(acc.shape[:3] + (4, cout))
+    return jnp.max(g, axis=3).astype(z5.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Selection fold: quad-patch Gram stats -> the standard 27-patch stats
+# ---------------------------------------------------------------------------
+
+def _selection_matrices(cin=3):
+    s = np.zeros((4, 9 * cin, 16 * cin), np.float32)
+    for qy in range(2):
+        for qx in range(2):
+            for dy in range(3):
+                for dx in range(3):
+                    for c in range(cin):
+                        s[qy * 2 + qx, (dy * 3 + dx) * cin + c,
+                          ((qy + dy) * 4 + (qx + dx)) * cin + c] = 1.0
+    return s
+
+
+_S27 = None
+
+
+def fold_gram48(g48, s48, w, b, n_pixels):
+    """conv1_1 Gram from quad-patch stats: PtP = sum_i S_i G48 S_i^T and
+    s27 = sum_i S_i s48, then vgg's gram1 closed form
+    G = W^T PtP W + u b^T + b u^T + N b b^T (u = s27 W)."""
+    global _S27
+    if _S27 is None:
+        _S27 = jnp.asarray(_selection_matrices(3))
+    s = _S27                                            # (4, 27, 48)
+    ptp = jnp.einsum("ikl,blm,inm->bkn", s, g48.astype(jnp.float32), s)
+    s27 = jnp.einsum("ikl,bl->bk", s, s48.astype(jnp.float32))
+    w27 = w.reshape(27, -1).astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    u = s27 @ w27
+    g = jnp.einsum("ko,bkl,lp->bop", w27, ptp, w27)
+    return (g + u[:, :, None] * bf[None, None, :]
+            + bf[None, :, None] * u[:, None, :]
+            + float(n_pixels) * bf[None, :, None] * bf[None, None, :])
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _band_rows_packed(hp: int, wp: int, kin: int) -> int:
+    """Packed band rows: the (bh, wp, kin) bf16 patch scratch + f32 acc
+    dominate VMEM; cap the scratch at ~4MB (kin=1024, wp=256 -> bh=8).
+    Also capped at hp/2 so the clipped-halo row windows always have >= 2
+    bands to span (the first/last-band zero staging assumes it)."""
+    budget = max(1, (4 << 20) // max(1, wp * kin * 2))
+    bh = max(1, min(hp // 2, 8, budget))
+    while hp % bh:
+        bh -= 1
+    return bh
+
+
+def _stage_patches(x_ref, patch_ref, *, bh, wp, cin, hi, nb):
+    """Stage the band's quad patches ((bh, wp, 16*cin) scratch) from the
+    5D block x_ref (1, bh+2, 2, wp, 2*cin) whose row window starts at
+    clip(hi*bh - 1, 0, hp - bh - 2). shift = (hi*bh - 1) - start is
+    -1 / 0 / +1 on the first / middle / last bands (nb >= 2, bh >= 2,
+    hp >= bh + 2 — the caller gates). Local row of global packed row g is
+    g - start, so output row r's tap rp sits at local r + ty + 1 + shift.
+    Border phases stage ZEROS: rp=0 at global row 0 (image row -1), rp=3
+    at global row hp-1 (image row H), cp=0 / cp=3 at the first / last
+    column (same scheme as conv_pallas._conv_kernel_nopad)."""
+    shift = jnp.where(hi == 0, -1, 0) + jnp.where(hi == nb - 1, 1, 0)
+    zrow = jnp.zeros((1, wp, cin), x_ref.dtype)
+
+    def store_cols(rows_val, rp, row_lo, row_hi):
+        n = row_hi - row_lo
+        for cp in range(4):
+            tx, px = PHASES[cp]
+            k = (rp * 4 + cp) * cin
+            src = rows_val[:, :, px * cin:(px + 1) * cin]
+            if tx == -1:
+                patch_ref[row_lo:row_hi, 1:wp, k:k + cin] = src[:, :wp - 1]
+                patch_ref[row_lo:row_hi, 0:1, k:k + cin] = jnp.zeros(
+                    (n, 1, cin), x_ref.dtype
+                )
+            elif tx == 1:
+                patch_ref[row_lo:row_hi, 0:wp - 1, k:k + cin] = src[:, 1:]
+                patch_ref[row_lo:row_hi, wp - 1:wp, k:k + cin] = jnp.zeros(
+                    (n, 1, cin), x_ref.dtype
+                )
+            else:
+                patch_ref[row_lo:row_hi, :, k:k + cin] = src
+
+    for rp in range(4):
+        ty, py = PHASES[rp]
+        off = ty + 1 + shift
+        if rp == 0:
+            @pl.when(hi != 0)
+            def _i0(off=off, py=py):
+                store_cols(x_ref[0, pl.ds(off, bh), py, :, :], 0, 0, bh)
+
+            @pl.when(hi == 0)
+            def _f0(py=py):
+                # global row 0's rp=0 phase = image row -1 -> zeros; rows
+                # 1..bh-1 read globals 0..bh-2 (locals 0.. with shift=-1).
+                store_cols(x_ref[0, 0:bh - 1, py, :, :], 0, 1, bh)
+                for cp in range(4):
+                    k = cp * cin
+                    patch_ref[0:1, :, k:k + cin] = zrow
+        elif rp == 3:
+            @pl.when(hi != nb - 1)
+            def _i3(off=off, py=py):
+                store_cols(x_ref[0, pl.ds(off, bh), py, :, :], 3, 0, bh)
+
+            @pl.when(hi == nb - 1)
+            def _l3(py=py):
+                # global row hp-1's rp=3 phase = image row H -> zeros;
+                # rows 0..bh-2 read globals hp-bh+1..hp-1 = locals 3..bh+1
+                # (shift = +1).
+                store_cols(x_ref[0, 3:bh + 2, py, :, :], 3, 0, bh - 1)
+                for cp in range(4):
+                    k = (12 + cp) * cin
+                    patch_ref[bh - 1:bh, :, k:k + cin] = zrow
+        else:
+            store_cols(x_ref[0, pl.ds(off, bh), py, :, :], rp, 0, bh)
+
+
+def _conv1_1_kernel(x_ref, w_ref, b_ref, o_ref, g_ref, s_ref,
+                    patch_ref, *, bh, wp, cin, nb):
+    hi = pl.program_id(1)
+    _stage_patches(x_ref, patch_ref, bh=bh, wp=wp, cin=cin, hi=hi, nb=nb)
+    p = patch_ref[...].reshape(bh * wp, 16 * cin)
+    acc = jnp.dot(p, w_ref[...], preferred_element_type=jnp.float32)
+    acc = jnp.maximum(acc + b_ref[0].astype(jnp.float32), 0.0)
+    n = acc.shape[1]
+    y = acc.astype(o_ref.dtype).reshape(bh, wp, n)
+    o_ref[0, :, 0, :, :] = y[:, :, :n // 2]
+    o_ref[0, :, 1, :, :] = y[:, :, n // 2:]
+    gp = jnp.dot(p.T, p, preferred_element_type=jnp.float32)
+    sp = jnp.sum(p.astype(jnp.float32), axis=0)
+
+    @pl.when(hi == 0)
+    def _init():
+        g_ref[0] = gp
+        s_ref[0] = sp
+
+    @pl.when(hi != 0)
+    def _acc():
+        g_ref[0] += gp
+        s_ref[0] += sp
+
+
+def _conv1_2_kernel(x_ref, w_ref, b_ref, o_ref, i_ref,
+                    patch_ref, *, bh, wp, cin, nb):
+    from st3d.kernels.conv_pallas import _pool4_first_max
+
+    hi = pl.program_id(1)
+    _stage_patches(x_ref, patch_ref, bh=bh, wp=wp, cin=cin, hi=hi, nb=nb)
+    p = patch_ref[...].reshape(bh * wp, 16 * cin)
+    acc = jnp.dot(p, w_ref[...], preferred_element_type=jnp.float32)
+    acc = jnp.maximum(acc + b_ref[0].astype(jnp.float32), 0.0)
+    pool_c = acc.shape[1] // 4
+    pv, idx = _pool4_first_max(acc, pool_c, o_ref.dtype)
+    o_ref[0] = pv.astype(o_ref.dtype).reshape(bh, wp, pool_c)
+    i_ref[0] = idx.astype(i_ref.dtype).reshape(bh, wp, pool_c)
+
+
+def _packed_call(x5, wq, bq, kernel, out_specs, out_shape, scratch,
+                 interpret):
+    bsz, hp, _, wp, cin2 = x5.shape
+    cin = cin2 // 2
+    bh = _band_rows_packed(hp, wp, 16 * cin)
+    nb = hp // bh
+    kern = functools.partial(kernel, bh=bh, wp=wp, cin=cin, nb=nb)
+    x_spec = pl.BlockSpec(
+        (pl.Element(1), pl.Element(bh + 2), pl.Element(2), pl.Element(wp),
+         pl.Element(cin2)),
+        lambda bi, hi: (bi, jnp.clip(hi * bh - 1, 0, hp - bh - 2), 0, 0, 0),
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(bsz, nb),
+        in_specs=[
+            x_spec,
+            pl.BlockSpec(wq.shape, lambda bi, hi: (0, 0)),
+            pl.BlockSpec((1, bq.shape[0]), lambda bi, hi: (0, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(x5, wq, bq.reshape(1, -1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv1_1_packed(x, w, b, interpret=False):
+    """Packed relu(conv1_1(x)+b) + quad-patch Gram stats.
+
+    x: (B, H, W, 3) with H, W even. Returns (z5 (B,H/2,2,W/2,128) in x's
+    dtype, g48 (B,48,48) f32, s48 (B,48) f32). Differentiable w.r.t. ``x``
+    only (VGG weights frozen); backward = autodiff of the pure-jnp
+    reference (phase 1, exact for the identical math — module docstring).
+    """
+    bsz, h, wi, cin = x.shape
+    hp, wp = h // 2, wi // 2
+    cout = w.shape[3]
+    wq, bq = pack_weights_phase(w.astype(x.dtype), b.astype(x.dtype))
+    x5 = pack_input5(x)
+    bh = _band_rows_packed(hp, wp, 16 * cin)
+    out_specs = [
+        pl.BlockSpec((1, bh, 2, wp, 2 * cout),
+                     lambda bi, hi: (bi, hi, 0, 0, 0)),
+        pl.BlockSpec((1, 16 * cin, 16 * cin), lambda bi, hi: (bi, 0, 0)),
+        pl.BlockSpec((1, 16 * cin), lambda bi, hi: (bi, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, hp, 2, wp, 2 * cout), x.dtype),
+        jax.ShapeDtypeStruct((bsz, 16 * cin, 16 * cin), jnp.float32),
+        jax.ShapeDtypeStruct((bsz, 16 * cin), jnp.float32),
+    ]
+    scratch = [pltpu.VMEM((bh, wp, 16 * cin), x.dtype)]
+    return _packed_call(
+        x5, wq, bq, _conv1_1_kernel, out_specs, out_shape, scratch,
+        interpret,
+    )
+
+
+def _c11_fwd(x, w, b, interpret):
+    out = conv1_1_packed(x, w, b, interpret)
+    return out, (x, w, b)
+
+
+def _c11_bwd(interpret, res, cts):
+    x, w, b = res
+    _, vjp = jax.vjp(lambda xx: _conv1_1_packed_ref(xx, w, b), x)
+    (dx,) = vjp(cts)
+    return dx, None, None
+
+
+conv1_1_packed.defvjp(_c11_fwd, _c11_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv1_2_packed_pool(z5, w, b, interpret=False):
+    """maxpool2x2(relu(conv3x3(z)+b)) consuming the PACKED z5 directly:
+    returns (pooled (B,hp,wp,cout), idx) exactly like
+    conv_pallas.conv3x3_bias_relu_pool_packed — without the XLA-side
+    pad/reshape glue. Differentiable w.r.t. ``z5`` (cotangent comes back
+    in the packed layout; phase-1 backward = autodiff of the reference)."""
+    bsz, hp, _, wp, cin2 = z5.shape
+    cin = cin2 // 2
+    cout = w.shape[3]
+    wq, bq = pack_weights_phase(w.astype(z5.dtype), b.astype(z5.dtype))
+    bh = _band_rows_packed(hp, wp, 16 * cin)
+    out_sd = jax.ShapeDtypeStruct((bsz, hp, wp, cout), z5.dtype)
+    out_specs = [
+        pl.BlockSpec((1, bh, wp, cout), lambda bi, hi: (bi, hi, 0, 0)),
+        pl.BlockSpec((1, bh, wp, cout), lambda bi, hi: (bi, hi, 0, 0)),
+    ]
+    scratch = [pltpu.VMEM((bh, wp, 16 * cin), z5.dtype)]
+    return _packed_call(
+        z5, wq, bq, _conv1_2_kernel, out_specs, [out_sd, out_sd], scratch,
+        interpret,
+    )
+
+
+def _c12_fwd(z5, w, b, interpret):
+    p, idx = conv1_2_packed_pool(z5, w, b, interpret)
+    return (p, idx), (z5, w, b)
+
+
+def _c12_bwd(interpret, res, cts):
+    ct_p, _ = cts                        # idx is non-differentiable
+    z5, w, b = res
+    _, vjp = jax.vjp(lambda zz: _conv1_2_ref(zz, w, b), z5)
+    (dz5,) = vjp(ct_p)
+    return dz5, None, None
+
+
+conv1_2_packed_pool.defvjp(_c12_fwd, _c12_bwd)
+
+
+def stage1_supported(x) -> bool:
+    """Shape gate: H, W even and large enough for both kernels' clipped
+    halo windows (nb >= 2 bands and hp >= bh + 2 each)."""
+    h, wi = x.shape[1], x.shape[2]
+    if h % 2 or wi % 2:
+        return False
+    hp, wp = h // 2, wi // 2
+    if wp < 2:
+        return False
+    for kin in (48, 1024):                 # conv1_1 / conv1_2 patch widths
+        bh = _band_rows_packed(hp, wp, kin)
+        if hp // bh < 2 or hp - bh - 2 < 0:
+            return False
+    return True

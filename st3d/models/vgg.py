@@ -177,6 +177,24 @@ def _pallas_conv_ok(x: jnp.ndarray) -> bool:
     return h % 8 == 0 and w % 8 == 0
 
 
+def _stage1_v2_ok(x: jnp.ndarray, gram1: bool, wanted) -> bool:
+    """Gate for the phase-aligned packed stage 1 (st3d.kernels.
+    stage1_pallas, env ST3D_STAGE1_V2): needs the gram1 hot-loop mode
+    (the conv1_1 tap is replaced by its Gram — the fused path never
+    materializes the tap) plus the usual TPU/shape gates."""
+    if not os.environ.get("ST3D_STAGE1_V2"):
+        return False
+    if not (gram1 and "conv1_1" in wanted):
+        return False
+    if 1 not in _pallas_convs():       # conv1_2 routed to Pallas at all
+        return False
+    if not _pallas_conv_ok(x):
+        return False
+    from st3d.kernels.stage1_pallas import stage1_supported
+
+    return stage1_supported(x)
+
+
 def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     """torch MaxPool2d(kernel=2, stride=2) in NHWC (floor mode == VALID).
 
@@ -260,6 +278,7 @@ def get_features(
 
     conv_i = 0
     skip_pool = False
+    skip_convs = 0
     for cfg_i, v in enumerate(VGG19_CFG):
         if v == "M":
             if skip_pool:
@@ -267,10 +286,38 @@ def get_features(
             else:
                 x = _max_pool_2x2(x)
             continue
+        if skip_convs:                 # consumed by a fused multi-layer op
+            skip_convs -= 1
+            conv_i += 1
+            continue
         w = model.kernels[conv_i].astype(dtype)
         b = model.biases[conv_i].astype(dtype)
         did_relu = False
-        if conv_i == 0:
+        if conv_i == 0 and _stage1_v2_ok(x, gram1, wanted):
+            # Phase-aligned packed stage 1 (env ST3D_STAGE1_V2): conv1_1
+            # emits its relu'd activation DIRECTLY in the space-to-depth
+            # packed layout + the quad-patch Gram stats (its unpacked
+            # (B,H,W,64) form never exists); conv1_2+pool1 consume it with
+            # zero XLA glue — kills the pad/reshape/slice ops around the
+            # round-3 packed conv1_2 AND the conv1_1 im2col chain
+            # (~4-6ms/step at 512², PERF_NOTES round 4).
+            from st3d.kernels.stage1_pallas import (
+                conv1_1_packed, conv1_2_packed_pool, fold_gram48,
+            )
+
+            bsz, h, wd, _ = x.shape
+            z5, g48, s48 = conv1_1_packed(x, w, b)
+            feats["conv1_1:gram"] = fold_gram48(
+                g48, s48, model.kernels[0], model.biases[0], h * wd
+            )
+            x, _ = conv1_2_packed_pool(
+                z5, model.kernels[1].astype(dtype),
+                model.biases[1].astype(dtype),
+            )
+            skip_convs = 1             # conv1_2 consumed here
+            skip_pool = True           # pool1 consumed here
+            did_relu = True
+        elif conv_i == 0:
             # conv1_1 has Cin=3: as a conv the MXU runs at <3% of its lanes
             # and XLA pads/relayouts around it (profiler: several ms of
             # "data formatting" at 512**2). As im2col + one (27, 64) matmul

@@ -1,0 +1,204 @@
+"""Phase-aligned packed stage 1 (st3d/kernels/stage1_pallas.py): kernel ==
+pure-jnp reference == unfused XLA chain, values and gradients, plus the
+get_features integration (env ST3D_STAGE1_V2). Interpret mode on CPU; the
+real-TPU compile is covered by scripts/tpu_smoke.py."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from st3d.kernels.stage1_pallas import (
+    _conv1_1_packed_ref,
+    _conv1_2_ref,
+    conv1_1_packed,
+    conv1_2_packed_pool,
+    fold_gram48,
+    pack_input5,
+    quad_patches_ref,
+    stage1_supported,
+    unpack_output5,
+)
+
+
+def _xla_conv(x, w, b):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    ) + b
+
+
+def _mats(key, cin, cout, scale=0.1):
+    w = jax.random.normal(key, (3, 3, cin, cout), jnp.float32) * scale
+    b = jax.random.normal(jax.random.fold_in(key, 99), (cout,),
+                          jnp.float32) * 0.1
+    return w, b
+
+
+@pytest.mark.parametrize("shape", [(2, 16, 24), (1, 32, 16), (1, 48, 48)])
+def test_kernels_match_reference_and_xla(shape):
+    b_, h, wi = shape
+    key = jax.random.PRNGKey(3)
+    x = jax.random.uniform(key, (b_, h, wi, 3), jnp.float32)
+    w1, b1 = _mats(jax.random.fold_in(key, 1), 3, 64, 0.2)
+    w2, b2 = _mats(jax.random.fold_in(key, 2), 64, 64, 0.05)
+    assert stage1_supported(x)
+
+    # conv1_1 kernel == reference == unpacked relu(conv).
+    z5r, g48r, s48r = _conv1_1_packed_ref(x, w1, b1)
+    z5, g48, s48 = jax.jit(lambda xx: conv1_1_packed(xx, w1, b1, True))(x)
+    np.testing.assert_allclose(np.asarray(z5), np.asarray(z5r),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g48), np.asarray(g48r),
+                               atol=1e-2, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(s48), np.asarray(s48r),
+                               atol=1e-3, rtol=1e-4)
+    y1 = jnp.maximum(_xla_conv(x, w1, b1), 0.0)
+    np.testing.assert_allclose(np.asarray(unpack_output5(z5)),
+                               np.asarray(y1), atol=1e-4, rtol=1e-4)
+
+    # Gram fold == gram of the pre-relu tap.
+    tap = _xla_conv(x, w1, b1)
+    g_ref = jnp.einsum("bhwc,bhwd->bcd", tap, tap)
+    np.testing.assert_allclose(
+        np.asarray(fold_gram48(g48, s48, w1, b1, h * wi)),
+        np.asarray(g_ref), atol=1e-2, rtol=1e-4,
+    )
+
+    # conv1_2 kernel == reference == maxpool(relu(conv)).
+    p, idx = jax.jit(lambda zz: conv1_2_packed_pool(zz, w2, b2, True))(z5)
+    np.testing.assert_allclose(np.asarray(p),
+                               np.asarray(_conv1_2_ref(z5r, w2, b2)),
+                               atol=1e-4, rtol=1e-4)
+    pooled_ref = jax.lax.reduce_window(
+        jnp.maximum(_xla_conv(y1, w2, b2), 0.0), -jnp.inf, jax.lax.max,
+        (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+    )
+    np.testing.assert_allclose(np.asarray(p), np.asarray(pooled_ref),
+                               atol=1e-4, rtol=1e-4)
+    assert set(np.unique(np.asarray(idx))) <= {0.0, 1.0, 2.0, 3.0}
+
+    # Full-chain input gradient (both custom VJPs + gram fold) vs XLA.
+    def loss_k(xx):
+        z5, g48, s48 = conv1_1_packed(xx, w1, b1, True)
+        pv, _ = conv1_2_packed_pool(z5, w2, b2, True)
+        g = fold_gram48(g48, s48, w1, b1, h * wi)
+        return jnp.sum(pv ** 2) + 1e-6 * jnp.sum(g ** 2)
+
+    def loss_x(xx):
+        t = _xla_conv(xx, w1, b1)
+        g = jnp.einsum("bhwc,bhwd->bcd", t, t)
+        y2 = jnp.maximum(_xla_conv(jnp.maximum(t, 0.0), w2, b2), 0.0)
+        pv = jax.lax.reduce_window(y2, -jnp.inf, jax.lax.max,
+                                   (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        return jnp.sum(pv ** 2) + 1e-6 * jnp.sum(g ** 2)
+
+    gk = jax.grad(loss_k)(x)
+    gx = jax.grad(loss_x)(x)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gx),
+                               atol=2e-2, rtol=2e-3)
+    assert float(jnp.abs(gk).max()) > 0
+
+
+def test_quad_patches_zero_borders():
+    """Out-of-image phases are exact zeros — the SAME-padding contract."""
+    x = jnp.ones((1, 8, 8, 3), jnp.float32)
+    p = np.asarray(quad_patches_ref(pack_input5(x)))
+    # K layout: (rp*4 + cp)*cin + c -> rp=0 spans k in [0, 12).
+    # rp=0 (image row -1) slots zero on the first packed row only.
+    assert (p[0, 0, :, 0:12] == 0).all()
+    assert (p[0, 1:, :, 0:12] != 0).any()
+    # rp=3 (image row H) slots zero on the last packed row.
+    assert (p[0, -1, :, 36:48] == 0).all()
+    # cp=0 / cp=3 zero the first / last packed column of their slots.
+    for rp in range(1, 3):
+        assert (p[0, :, 0, (rp * 4 + 0) * 3:(rp * 4 + 1) * 3] == 0).all()
+        assert (p[0, :, -1, (rp * 4 + 3) * 3:(rp * 4 + 4) * 3] == 0).all()
+
+
+def test_get_features_stage1_v2_matches_default(monkeypatch):
+    """get_features with the stage-1 v2 path engaged (gates monkeypatched
+    for CPU interpret mode) returns the same taps, conv1_1 Gram, and input
+    gradients as the default XLA path."""
+    import st3d.kernels.stage1_pallas as s1
+    import st3d.models.vgg as vggmod
+    from st3d.models.vgg import get_features, init_random_vgg19
+
+    model = init_random_vgg19(0)
+    x = jnp.asarray(np.random.RandomState(5).rand(2, 32, 32, 3), jnp.float32)
+
+    feats_ref = get_features(x, model, layout="NHWC", input_layout="NHWC",
+                             gram1=True)
+
+    tgt = jnp.asarray(
+        np.random.RandomState(7).rand(
+            *feats_ref["conv1_1:gram"].shape), jnp.float32)
+
+    def loss(xx):
+        f = get_features(xx, model, layout="NHWC", input_layout="NHWC",
+                         gram1=True)
+        return (jnp.mean((f["conv1_1:gram"] - tgt) ** 2)
+                + jnp.mean(f["conv5_1"].astype(jnp.float32) ** 2))
+
+    g_ref = jax.grad(loss)(x)   # BEFORE the gates are patched
+
+    monkeypatch.setenv("ST3D_STAGE1_V2", "1")
+    monkeypatch.setattr(vggmod, "_pallas_conv_ok", lambda _x: True)
+    monkeypatch.setattr(
+        vggmod, "_pallas_convs", lambda: frozenset(range(0, 2))
+    )
+    # Interpret-mode kernels (CPU); conv2_1.. fall back to XLA (the
+    # _pallas_convs patch keeps them off the TPU-only band kernels).
+    monkeypatch.setattr(
+        s1, "conv1_1_packed",
+        lambda xx, w, b, interpret=False: conv1_1_packed(xx, w, b, True),
+    )
+    monkeypatch.setattr(
+        s1, "conv1_2_packed_pool",
+        lambda zz, w, b, interpret=False: conv1_2_packed_pool(
+            zz, w, b, True),
+    )
+    feats_v2 = get_features(x, model, layout="NHWC", input_layout="NHWC",
+                            gram1=True)
+
+    assert set(feats_v2) == set(feats_ref)
+    for k in feats_ref:
+        np.testing.assert_allclose(
+            np.asarray(feats_v2[k]), np.asarray(feats_ref[k]),
+            atol=5e-3, rtol=5e-4, err_msg=k,
+        )
+
+    g_v2 = jax.grad(loss)(x)
+    np.testing.assert_allclose(np.asarray(g_v2), np.asarray(g_ref),
+                               atol=1e-3, rtol=2e-3)
+
+
+def test_stage1_bf16_interpret():
+    """bf16 end-to-end smoke: dtypes carried, values loosely match the
+    bf16 XLA chain, gradient finite and bf16."""
+    key = jax.random.PRNGKey(11)
+    x = jax.random.uniform(key, (1, 16, 16, 3), jnp.bfloat16)
+    w1 = (jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 3, 64),
+                            jnp.float32) * 0.2).astype(jnp.bfloat16)
+    b1 = jnp.zeros((64,), jnp.bfloat16)
+    w2 = (jax.random.normal(jax.random.fold_in(key, 2), (3, 3, 64, 64),
+                            jnp.float32) * 0.05).astype(jnp.bfloat16)
+    b2 = jnp.zeros((64,), jnp.bfloat16)
+
+    z5, g48, s48 = conv1_1_packed(x, w1, b1, True)
+    assert z5.dtype == jnp.bfloat16 and g48.dtype == jnp.float32
+    p, idx = conv1_2_packed_pool(z5, w2, b2, True)
+    assert p.dtype == jnp.bfloat16
+
+    ref = jax.lax.reduce_window(
+        jnp.maximum(_xla_conv(
+            jnp.maximum(_xla_conv(x, w1, b1), 0), w2, b2), 0),
+        -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    np.testing.assert_allclose(np.asarray(p, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=0.05, rtol=0.05)
+    g = jax.grad(lambda xx: jnp.sum(conv1_2_packed_pool(
+        conv1_1_packed(xx, w1, b1, True)[0], w2, b2, True
+    )[0].astype(jnp.float32)))(x)
+    assert g.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
