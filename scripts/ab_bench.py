@@ -27,6 +27,7 @@ sys.path.insert(0, REPO)
 VARIANTS = [
     ("default", {}, {}),
     ("packed_bwd_v2", {"ST3D_PACKED_BWD": "v2"}, {}),
+    ("stage1_v2", {"ST3D_STAGE1_V2": "1"}, {}),
 ]
 
 if os.environ.get("ST3D_AB_VARIANTS"):

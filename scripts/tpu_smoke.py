@@ -384,6 +384,75 @@ def main() -> int:
         f"(compile+run {time.time() - t0:.0f}s)",
     )
 
+    # --- 7. phase-aligned packed stage 1 (stage1_pallas) ----------------
+    # conv1_1_packed -> conv1_2_packed_pool on-device vs the XLA chain:
+    # fwd pooled values (loose bf16 tol), the folded conv1_1 Gram, and the
+    # full-chain input gradient (frac-moved bound — pool ties may re-route
+    # under different accumulation orders, as in check 6).
+    from st3d.kernels.stage1_pallas import (
+        conv1_1_packed,
+        conv1_2_packed_pool,
+        fold_gram48,
+        unpack_output5,
+    )
+
+    dtype, shape = jnp.bfloat16, (2, 512, 512, 3)
+    key = jax.random.PRNGKey(13)
+    xc = jax.random.uniform(key, shape, dtype)
+    w1 = (jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 3, 64),
+                            jnp.float32) * 0.2).astype(dtype)
+    b1 = (jax.random.normal(jax.random.fold_in(key, 2), (64,),
+                            jnp.float32) * 0.1).astype(dtype)
+    w2 = (jax.random.normal(jax.random.fold_in(key, 3), (3, 3, 64, 64),
+                            jnp.float32) * 0.05).astype(dtype)
+    b2 = (jax.random.normal(jax.random.fold_in(key, 4), (64,),
+                            jnp.float32) * 0.1).astype(dtype)
+
+    def _xla_conv11(xx):
+        return jax.lax.conv_general_dilated(
+            xx, w1, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dtype) + b1
+
+    t0 = time.time()
+
+    @jax.jit
+    def s1_fwd(xx):
+        z5, g48, s48 = conv1_1_packed(xx, w1, b1)
+        p, _ = conv1_2_packed_pool(z5, w2, b2)
+        g = fold_gram48(g48, s48, w1.astype(jnp.float32),
+                        b1.astype(jnp.float32), shape[1] * shape[2])
+        return p, g, unpack_output5(z5)
+
+    p_s1, g_s1, y1_s1 = s1_fwd(xc)
+    tap = jax.jit(_xla_conv11)(xc)
+    y1 = jnp.maximum(tap, 0.0)
+    p_ref = jax.jit(lambda yy: _xla_crp(yy, w2, b2, dtype))(y1)
+    g_ref = jnp.einsum("bhwc,bhwd->bcd", tap.astype(jnp.float32),
+                       tap.astype(jnp.float32))
+    d_y1 = float(jnp.max(jnp.abs(
+        y1_s1.astype(jnp.float32) - y1.astype(jnp.float32))))
+    d_p = float(jnp.max(jnp.abs(
+        p_s1.astype(jnp.float32) - p_ref.astype(jnp.float32))))
+    d_g = float(jnp.max(jnp.abs(g_s1 - g_ref))
+                / max(float(jnp.max(jnp.abs(g_ref))), 1e-9))
+    wgt = jax.random.normal(jax.random.fold_in(key, 5), p_ref.shape, dtype)
+    g_k = jax.jit(jax.grad(lambda xx: jnp.sum((conv1_2_packed_pool(
+        conv1_1_packed(xx, w1, b1)[0], w2, b2
+    )[0] * wgt).astype(jnp.float32))))(xc)
+    g_u = jax.jit(jax.grad(lambda xx: jnp.sum((_pallas_unfused(
+        jnp.maximum(_xla_conv11(xx), 0.0), w2, b2
+    ) * wgt).astype(jnp.float32))))(xc)
+    dabs = jnp.abs(g_k.astype(jnp.float32) - g_u.astype(jnp.float32))
+    frac_moved = float(jnp.mean((dabs > 1e-2).astype(jnp.float32)))
+    record(
+        "stage1_packed_512",
+        d_y1 <= 0.25 and d_p <= 0.5 and d_g <= 0.02 and frac_moved <= 1e-3,
+        f"conv1_1 max|d|={d_y1:.3g} pooled max|d|={d_p:.3g} "
+        f"gram rel|d|={d_g:.3g} bwd frac moved={frac_moved:.2e} "
+        f"(compile+run {time.time() - t0:.0f}s)",
+    )
+
     results["total_s"] = round(time.time() - t_start, 1)
     _write(results, ok)
     return 0 if ok else 1

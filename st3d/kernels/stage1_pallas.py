@@ -312,6 +312,70 @@ def _conv1_2_kernel(x_ref, w_ref, b_ref, o_ref, i_ref,
     i_ref[0] = idx.astype(i_ref.dtype).reshape(bh, wp, pool_c)
 
 
+def _conv1_2_bwd_kernel(dp_ref, i_ref, p_ref, w_ref, o_ref, dpre_ref,
+                        dq_ref, *, bh, wp, cout, cin, nb):
+    """dz5 from (dpool, idx, pooled): route the pool cotangent to its
+    argmax quad phase (relu-masked), one K=4cout -> 16cin transpose
+    matmul per scratch row, then the 16-term shifted fold back to the
+    packed input layout — all in VMEM; the output IS the (1, bh, 2, wp,
+    2cin) dz5 block (no unpack ever exists).
+
+    Blocks dp/i/p: (1, bh+2, wp, cout) quad rows at start = clip(hi*bh-1,
+    0, hp-bh-2) — the quad grid == the pooled grid, so no grid mismatch.
+    dq_ref scratch: (bh+4, wp+2, 16cin) dP with GUARD zeros — row 0, row
+    bh+3 and the two border columns stay zero, and dP of quad row g lands
+    at local (g - start) + 1. A fold read for quad row Y-ty at out-row r
+    then sits at scratch row r + (2 + shift - ty), and every out-of-image
+    quad row (-1 at the first band, hp at the last) resolves EXACTLY to a
+    guard row: base = 2+shift-ty in [0,4] covers all cases with no masks
+    or branches (shift = -1/0/+1 first/middle/last, as in the staging)."""
+    hi = pl.program_id(1)
+    shift = jnp.where(hi == 0, -1, 0) + jnp.where(hi == nb - 1, 1, 0)
+    rows = bh + 2
+
+    # 1. Route (f32 compares — Mosaic has no bf16 vector compare here).
+    d_all = (dp_ref[0].astype(jnp.float32)
+             * (p_ref[0].astype(jnp.float32) > 0).astype(jnp.float32))
+    ix = i_ref[0].astype(jnp.float32)
+    for q in range(4):
+        dpre_ref[:, :, q * cout:(q + 1) * cout] = (
+            d_all * (ix == float(q)).astype(jnp.float32)
+        ).astype(dpre_ref.dtype)
+
+    # 2. Guard zeros + the transpose matmul, row-chunked so the f32
+    # product stays ~1MB per row (a full-band f32 temp would blow the
+    # 16MB scoped VMEM).
+    kq = 16 * cin
+    dq_ref[0:1, :, :] = jnp.zeros((1, wp + 2, kq), dq_ref.dtype)
+    dq_ref[rows + 1:rows + 2, :, :] = jnp.zeros((1, wp + 2, kq),
+                                                dq_ref.dtype)
+    zc = jnp.zeros((rows, 1, kq), dq_ref.dtype)
+    dq_ref[1:rows + 1, 0:1, :] = zc
+    dq_ref[1:rows + 1, wp + 1:wp + 2, :] = zc
+    for r in range(rows):
+        dq_ref[r + 1, 1:wp + 1, :] = jnp.dot(
+            dpre_ref[r], w_ref[...], preferred_element_type=jnp.float32,
+        ).astype(dq_ref.dtype)
+
+    # 3. Fold. dz5[Y, py, X, px*cin+c] sums dP[Y-ty, X-tx, (rp,cp,c)]
+    # over the 2 row-phases matching py and the 2 col-phases matching px.
+    for py in range(2):
+        accs = [jnp.zeros((bh, wp, cin), jnp.float32) for _ in range(2)]
+        for rp in range(4):
+            ty, pyr = PHASES[rp]
+            if pyr != py:
+                continue
+            base = 2 + shift - ty
+            for cp in range(4):
+                tx, px = PHASES[cp]
+                k = (rp * 4 + cp) * cin
+                accs[px] = accs[px] + dq_ref[
+                    pl.ds(base, bh), pl.ds(1 - tx, wp), k:k + cin
+                ].astype(jnp.float32)
+        o_ref[0, :, py, :, 0:cin] = accs[0].astype(o_ref.dtype)
+        o_ref[0, :, py, :, cin:2 * cin] = accs[1].astype(o_ref.dtype)
+
+
 def _packed_call(x5, wq, bq, kernel, out_specs, out_shape, scratch,
                  interpret):
     bsz, hp, _, wp, cin2 = x5.shape
@@ -411,17 +475,49 @@ def conv1_2_packed_pool(z5, w, b, interpret=False):
     )
 
 
+def conv1_2_bwd_dz5(ct_p, pooled, idx, w, interpret=False):
+    """The dz5-emitting backward kernel (see _conv1_2_bwd_kernel)."""
+    bsz, hp, wp, cout = pooled.shape
+    cin = w.shape[2]
+    wq, _ = pack_weights_phase(w.astype(ct_p.dtype),
+                               jnp.zeros((cout,), ct_p.dtype))
+    wt = wq.T                                     # (4cout, 16cin)
+    bh = _band_rows_packed(hp, wp, 16 * cin)
+    nb = hp // bh
+    kern = functools.partial(_conv1_2_bwd_kernel, bh=bh, wp=wp, cout=cout,
+                             cin=cin, nb=nb)
+    qspec = pl.BlockSpec(
+        (pl.Element(1), pl.Element(bh + 2), pl.Element(wp),
+         pl.Element(cout)),
+        lambda bi, hi: (bi, jnp.clip(hi * bh - 1, 0, hp - bh - 2), 0, 0),
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(bsz, nb),
+        in_specs=[qspec, qspec, qspec,
+                  pl.BlockSpec(wt.shape, lambda bi, hi: (0, 0))],
+        out_specs=pl.BlockSpec(
+            (1, bh, 2, wp, 2 * cin), lambda bi, hi: (bi, hi, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, 2, wp, 2 * cin),
+                                       ct_p.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bh + 2, wp, 4 * cout), ct_p.dtype),
+            pltpu.VMEM((bh + 4, wp + 2, 16 * cin), ct_p.dtype),
+        ],
+        interpret=interpret,
+    )(ct_p, idx, pooled, wt)
+
+
 def _c12_fwd(z5, w, b, interpret):
     p, idx = conv1_2_packed_pool(z5, w, b, interpret)
-    return (p, idx), (z5, w, b)
+    return (p, idx), (p, idx, w)
 
 
 def _c12_bwd(interpret, res, cts):
     ct_p, _ = cts                        # idx is non-differentiable
-    z5, w, b = res
-    _, vjp = jax.vjp(lambda zz: _conv1_2_ref(zz, w, b), z5)
-    (dz5,) = vjp(ct_p)
-    return dz5, None, None
+    pooled, idx, w = res
+    return conv1_2_bwd_dz5(ct_p, pooled, idx, w, interpret), None, None
 
 
 conv1_2_packed_pool.defvjp(_c12_fwd, _c12_bwd)

@@ -100,6 +100,36 @@ def test_kernels_match_reference_and_xla(shape):
     assert float(jnp.abs(gk).max()) > 0
 
 
+@pytest.mark.parametrize("shape", [(2, 16, 24), (1, 32, 16)])
+def test_conv1_2_bwd_kernel_matches_reference_autodiff(shape):
+    """The dz5-emitting backward kernel == autodiff of the jnp reference
+    under an arbitrary cotangent (f32: no pool ties, so the idx routing
+    and the reference argmax agree exactly)."""
+    from st3d.kernels.stage1_pallas import _conv1_1_packed_ref
+
+    b_, h, wi = shape
+    key = jax.random.PRNGKey(17)
+    x = jax.random.uniform(key, (b_, h, wi, 3), jnp.float32)
+    w1, b1 = _mats(jax.random.fold_in(key, 1), 3, 64, 0.2)
+    w2, b2 = _mats(jax.random.fold_in(key, 2), 64, 64, 0.05)
+    z5, _, _ = _conv1_1_packed_ref(x, w1, b1)
+    ct = jax.random.normal(jax.random.fold_in(key, 3),
+                           (b_, h // 2, wi // 2, 64), jnp.float32)
+
+    def via_kernel(zz):
+        p, _ = conv1_2_packed_pool(zz, w2, b2, True)
+        return jnp.sum(p * ct)
+
+    def via_ref(zz):
+        return jnp.sum(_conv1_2_ref(zz, w2, b2) * ct)
+
+    gk = jax.grad(via_kernel)(z5)
+    gr = jax.grad(via_ref)(z5)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                               atol=1e-4, rtol=1e-4)
+    assert float(jnp.abs(gk).max()) > 0
+
+
 def test_quad_patches_zero_borders():
     """Out-of-image phases are exact zeros — the SAME-padding contract."""
     x = jnp.ones((1, 8, 8, 3), jnp.float32)
