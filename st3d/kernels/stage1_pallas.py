@@ -206,17 +206,20 @@ def _band_rows_packed(hp: int, wp: int, kin: int) -> int:
     return bh
 
 
-def _stage_patches(x_ref, patch_ref, *, bh, wp, cin, hi, nb):
-    """Stage the band's quad patches ((bh, wp, 16*cin) scratch) from the
-    5D block x_ref (1, bh+2, 2, wp, 2*cin) whose row window starts at
-    clip(hi*bh - 1, 0, hp - bh - 2). shift = (hi*bh - 1) - start is
-    -1 / 0 / +1 on the first / middle / last bands (nb >= 2, bh >= 2,
-    hp >= bh + 2 — the caller gates). Local row of global packed row g is
-    g - start, so output row r's tap rp sits at local r + ty + 1 + shift.
-    Border phases stage ZEROS: rp=0 at global row 0 (image row -1), rp=3
-    at global row hp-1 (image row H), cp=0 / cp=3 at the first / last
+def _stage_patches(x_ref, patch_ref, *, n_rows, wp, cin, hi, nb, shift):
+    """Stage quad patches for ``n_rows`` consecutive quad rows (patch_ref
+    (n_rows, wp, 16*cin)) from the 5D block x_ref (1, n_rows+2, 2, wp,
+    2*cin). ``shift`` encodes the alignment between the patch window's
+    first quad row (qstart) and the x block's start (xstart):
+    qstart - xstart = 1 + shift; patch row j's tap rp then reads x local
+    row j + ty + 1 + shift. Both call sites use clipped windows where
+    shift is -1 / 0(ish) / +1 on the first / middle / last bands.
+
+    Border phases stage ZEROS (the SAME padding): rp=0 at global quad row
+    0 (image row -1) — in the first band (hi == 0) the window's FIRST
+    patch row in both call sites; rp=3 at quad row hp-1 (image row H) —
+    the last band's LAST patch row; cp=0 / cp=3 zero the first / last
     column (same scheme as conv_pallas._conv_kernel_nopad)."""
-    shift = jnp.where(hi == 0, -1, 0) + jnp.where(hi == nb - 1, 1, 0)
     zrow = jnp.zeros((1, wp, cin), x_ref.dtype)
 
     def store_cols(rows_val, rp, row_lo, row_hi):
@@ -244,38 +247,47 @@ def _stage_patches(x_ref, patch_ref, *, bh, wp, cin, hi, nb):
         if rp == 0:
             @pl.when(hi != 0)
             def _i0(off=off, py=py):
-                store_cols(x_ref[0, pl.ds(off, bh), py, :, :], 0, 0, bh)
+                store_cols(x_ref[0, pl.ds(off, n_rows), py, :, :],
+                           0, 0, n_rows)
 
             @pl.when(hi == 0)
             def _f0(py=py):
-                # global row 0's rp=0 phase = image row -1 -> zeros; rows
-                # 1..bh-1 read globals 0..bh-2 (locals 0.. with shift=-1).
-                store_cols(x_ref[0, 0:bh - 1, py, :, :], 0, 1, bh)
+                # quad row 0's rp=0 phase = image row -1 -> zeros; rows
+                # 1..n_rows-1 read globals 0..n_rows-2 (locals, xstart=0).
+                store_cols(x_ref[0, 0:n_rows - 1, py, :, :], 0, 1, n_rows)
                 for cp in range(4):
                     k = cp * cin
                     patch_ref[0:1, :, k:k + cin] = zrow
         elif rp == 3:
             @pl.when(hi != nb - 1)
             def _i3(off=off, py=py):
-                store_cols(x_ref[0, pl.ds(off, bh), py, :, :], 3, 0, bh)
+                store_cols(x_ref[0, pl.ds(off, n_rows), py, :, :],
+                           3, 0, n_rows)
 
             @pl.when(hi == nb - 1)
             def _l3(py=py):
-                # global row hp-1's rp=3 phase = image row H -> zeros;
-                # rows 0..bh-2 read globals hp-bh+1..hp-1 = locals 3..bh+1
-                # (shift = +1).
-                store_cols(x_ref[0, 3:bh + 2, py, :, :], 3, 0, bh - 1)
+                # quad row hp-1's rp=3 phase = image row H -> zeros; rows
+                # 0..n_rows-2 read locals 3..n_rows+1 (shift = +1).
+                store_cols(x_ref[0, 3:n_rows + 2, py, :, :],
+                           3, 0, n_rows - 1)
                 for cp in range(4):
                     k = (12 + cp) * cin
-                    patch_ref[bh - 1:bh, :, k:k + cin] = zrow
+                    patch_ref[n_rows - 1:n_rows, :, k:k + cin] = zrow
         else:
-            store_cols(x_ref[0, pl.ds(off, bh), py, :, :], rp, 0, bh)
+            store_cols(x_ref[0, pl.ds(off, n_rows), py, :, :],
+                       rp, 0, n_rows)
+
+
+def _band_shift(hi, nb):
+    """Clipped-window alignment for the standard fwd banding."""
+    return jnp.where(hi == 0, -1, 0) + jnp.where(hi == nb - 1, 1, 0)
 
 
 def _conv1_1_kernel(x_ref, w_ref, b_ref, o_ref, g_ref, s_ref,
                     patch_ref, *, bh, wp, cin, nb):
     hi = pl.program_id(1)
-    _stage_patches(x_ref, patch_ref, bh=bh, wp=wp, cin=cin, hi=hi, nb=nb)
+    _stage_patches(x_ref, patch_ref, n_rows=bh, wp=wp, cin=cin, hi=hi,
+                   nb=nb, shift=_band_shift(hi, nb))
     p = patch_ref[...].reshape(bh * wp, 16 * cin)
     acc = jnp.dot(p, w_ref[...], preferred_element_type=jnp.float32)
     acc = jnp.maximum(acc + b_ref[0].astype(jnp.float32), 0.0)
@@ -302,7 +314,8 @@ def _conv1_2_kernel(x_ref, w_ref, b_ref, o_ref, i_ref,
     from st3d.kernels.conv_pallas import _pool4_first_max
 
     hi = pl.program_id(1)
-    _stage_patches(x_ref, patch_ref, bh=bh, wp=wp, cin=cin, hi=hi, nb=nb)
+    _stage_patches(x_ref, patch_ref, n_rows=bh, wp=wp, cin=cin, hi=hi,
+                   nb=nb, shift=_band_shift(hi, nb))
     p = patch_ref[...].reshape(bh * wp, 16 * cin)
     acc = jnp.dot(p, w_ref[...], preferred_element_type=jnp.float32)
     acc = jnp.maximum(acc + b_ref[0].astype(jnp.float32), 0.0)
@@ -376,6 +389,129 @@ def _conv1_2_bwd_kernel(dp_ref, i_ref, p_ref, w_ref, o_ref, dpre_ref,
         o_ref[0, :, py, :, cin:2 * cin] = accs[1].astype(o_ref.dtype)
 
 
+def _conv1_1_bwd_kernel(dz_ref, z_ref, x_ref, w_ref, g_ref, s_ref, o_ref,
+                        patch_ref, dq_ref, *, bh, wp, cin, nb, hp):
+    """dx5 from (dz5, saved z5, x5, sym(dG48), ds48): per band, rebuild
+    the quad patches for the bh+2 halo quad rows (the fold crosses band
+    edges by one row), assemble the relu-masked conv cotangent, run
+
+        dP48 = dacc @ W48ᵀ + P48 @ sym(dG48) + 1 · ds48ᵀ
+
+    and fold dP48 back to the packed input layout with the same guard-row
+    scheme as _conv1_2_bwd_kernel. Output IS the (1, bh, 2, wp, 2cin) dx5
+    block. dz/z blocks: (1, bh+2, 2, wp, 128) at start = clip(hi*bh-1, 0,
+    hp-bh-2); x block: (1, bh+4, 2, wp, 2cin) at clip(start-1, 0,
+    hp-bh-4) (the caller gates hp >= bh+4)."""
+    hi = pl.program_id(1)
+    rows = bh + 2
+    kq = 16 * cin
+    start = jnp.clip(hi * bh - 1, 0, hp - bh - 2)
+    shift2 = start - 1 - jnp.clip(start - 1, 0, hp - bh - 4)
+    _stage_patches(x_ref, patch_ref, n_rows=rows, wp=wp, cin=cin, hi=hi,
+                   nb=nb, shift=shift2)
+
+    # Relu-masked cotangent, split by qy so no 256-lane concat is built:
+    # W48's N order is (qy*128 | qx*64 | o), so the two lane halves of wt
+    # (rows qy*128:(qy+1)*128) pair with the two qy planes of dz5.
+    p = patch_ref[...].reshape(rows * wp, kq)
+    dp48 = jnp.dot(p.astype(jnp.float32), g_ref[0],
+                   preferred_element_type=jnp.float32)
+    dp48 = dp48 + s_ref[0].astype(jnp.float32)    # broadcast (1, 48)
+    half = w_ref.shape[0] // 2                    # = 2*cout lanes per qy
+    for qy in range(2):
+        d = (dz_ref[0, :, qy, :, :].astype(jnp.float32)
+             * (z_ref[0, :, qy, :, :].astype(jnp.float32) > 0
+                ).astype(jnp.float32))
+        dp48 = dp48 + jnp.dot(
+            d.reshape(rows * wp, -1).astype(dz_ref.dtype),
+            w_ref[qy * half:(qy + 1) * half, :],
+            preferred_element_type=jnp.float32,
+        )
+
+    # Guard-row fold (see _conv1_2_bwd_kernel): dP of quad row g lands at
+    # dq local (g - start) + 1; rows 0 / rows+1 and border cols are zero.
+    dq_ref[0:1, :, :] = jnp.zeros((1, wp + 2, kq), dq_ref.dtype)
+    dq_ref[rows + 1:rows + 2, :, :] = jnp.zeros((1, wp + 2, kq),
+                                                dq_ref.dtype)
+    zc = jnp.zeros((rows, 1, kq), dq_ref.dtype)
+    dq_ref[1:rows + 1, 0:1, :] = zc
+    dq_ref[1:rows + 1, wp + 1:wp + 2, :] = zc
+    dq_ref[1:rows + 1, 1:wp + 1, :] = dp48.reshape(rows, wp, kq).astype(
+        dq_ref.dtype
+    )
+    shift = _band_shift(hi, nb)
+    for py in range(2):
+        accs = [jnp.zeros((bh, wp, cin), jnp.float32) for _ in range(2)]
+        for rp in range(4):
+            ty, pyr = PHASES[rp]
+            if pyr != py:
+                continue
+            base = 2 + shift - ty
+            for cp in range(4):
+                tx, px = PHASES[cp]
+                k = (rp * 4 + cp) * cin
+                accs[px] = accs[px] + dq_ref[
+                    pl.ds(base, bh), pl.ds(1 - tx, wp), k:k + cin
+                ].astype(jnp.float32)
+        o_ref[0, :, py, :, 0:cin] = accs[0].astype(o_ref.dtype)
+        o_ref[0, :, py, :, cin:2 * cin] = accs[1].astype(o_ref.dtype)
+
+
+def conv1_1_bwd_dx(dz5, z5, x, w, dg48, ds48, interpret=False):
+    """The dx-emitting backward kernel for conv1_1_packed (see
+    _conv1_1_bwd_kernel). Returns dx in the caller's (B, H, W, cin)."""
+    bsz, h, wi, cin = x.shape
+    hp, wp = h // 2, wi // 2
+    wq, _ = pack_weights_phase(
+        w.astype(dz5.dtype), jnp.zeros((w.shape[3],), dz5.dtype)
+    )
+    wt = wq.T                                    # (4cout, 16cin)
+    sym = (dg48 + jnp.swapaxes(dg48, -1, -2)).astype(jnp.float32)
+    bh = _band_rows_packed(hp, wp, 16 * cin)
+    nb = hp // bh
+    x5 = pack_input5(x.astype(dz5.dtype))
+    kern = functools.partial(_conv1_1_bwd_kernel, bh=bh, wp=wp, cin=cin,
+                             nb=nb, hp=hp)
+    zspec = pl.BlockSpec(
+        (pl.Element(1), pl.Element(bh + 2), pl.Element(2), pl.Element(wp),
+         pl.Element(dz5.shape[-1])),
+        lambda bi, hi: (bi, jnp.clip(hi * bh - 1, 0, hp - bh - 2),
+                        0, 0, 0),
+    )
+    xspec = pl.BlockSpec(
+        (pl.Element(1), pl.Element(bh + 4), pl.Element(2), pl.Element(wp),
+         pl.Element(2 * cin)),
+        lambda bi, hi: (
+            bi,
+            jnp.clip(jnp.clip(hi * bh - 1, 0, hp - bh - 2) - 1,
+                     0, hp - bh - 4),
+            0, 0, 0,
+        ),
+    )
+    dx5 = pl.pallas_call(
+        kern,
+        grid=(bsz, nb),
+        in_specs=[
+            zspec, zspec, xspec,
+            pl.BlockSpec(wt.shape, lambda bi, hi: (0, 0)),
+            pl.BlockSpec((1, 16 * cin, 16 * cin),
+                         lambda bi, hi: (bi, 0, 0)),
+            pl.BlockSpec((1, 16 * cin), lambda bi, hi: (bi, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bh, 2, wp, 2 * cin), lambda bi, hi: (bi, hi, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, 2, wp, 2 * cin),
+                                       dz5.dtype),
+        scratch_shapes=[
+            pltpu.VMEM(((bh + 2), wp, 16 * cin), dz5.dtype),
+            pltpu.VMEM((bh + 4, wp + 2, 16 * cin), dz5.dtype),
+        ],
+        interpret=interpret,
+    )(dz5, z5, x5, wt, sym, ds48.astype(jnp.float32).reshape(bsz, -1))
+    return unpack_output5(dx5).astype(x.dtype)
+
+
 def _packed_call(x5, wq, bq, kernel, out_specs, out_shape, scratch,
                  interpret):
     bsz, hp, _, wp, cin2 = x5.shape
@@ -437,14 +573,21 @@ def conv1_1_packed(x, w, b, interpret=False):
 
 
 def _c11_fwd(x, w, b, interpret):
-    out = conv1_1_packed(x, w, b, interpret)
-    return out, (x, w, b)
+    z5, g48, s48 = conv1_1_packed(x, w, b, interpret)
+    return (z5, g48, s48), (x, z5, w, b)
 
 
 def _c11_bwd(interpret, res, cts):
-    x, w, b = res
-    _, vjp = jax.vjp(lambda xx: _conv1_1_packed_ref(xx, w, b), x)
-    (dx,) = vjp(cts)
+    x, z5, w, b = res
+    dz5, dg48, ds48 = cts
+    hp, wp = x.shape[1] // 2, x.shape[2] // 2
+    bh = _band_rows_packed(hp, wp, 16 * x.shape[3])
+    if hp - bh - 4 >= 0:
+        dx = conv1_1_bwd_dx(dz5.astype(z5.dtype), z5, x, w, dg48, ds48,
+                            interpret)
+    else:  # window too short for the double-halo x block: jnp fallback
+        _, vjp = jax.vjp(lambda xx: _conv1_1_packed_ref(xx, w, b), x)
+        (dx,) = vjp((dz5.astype(z5.dtype), dg48, ds48))
     return dx, None, None
 
 
