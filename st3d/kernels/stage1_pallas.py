@@ -35,13 +35,18 @@ The fused chain:
       as in conv_pallas.conv3x3_bias_relu_pool_packed (first-max tie
       routing on output-dtype values).
 
-Backward (phase 1): both custom VJPs differentiate a pure-jnp REFERENCE
-implementation of the identical math (``_conv1_1_packed_ref`` /
-``_conv1_2_ref``) — an exact gradient of the same function, not a
-hand-approximation (the kernels' forwards agree with the references up to
-float reassociation; equality-tested in tests/test_stage1_pallas.py).
-In-kernel backwards (emitting dz5 with the saved idx routing) are the
-phase-2 follow-up.
+Backwards are kernels too, and their COTANGENTS STAY PACKED: conv1_2's
+bwd routes the pool cotangent by the saved idx (relu-masked), runs the
+K=4cout transpose matmul and folds straight into a dz5 block
+(_conv1_2_bwd_kernel); conv1_1's bwd rebuilds the quad patches, applies
+all three cotangent terms (dz5, dG48, ds48 — the Gram stats' closed-form
+transposes) and folds to dx (_conv1_1_bwd_kernel). Both are
+equality-tested against autodiff of the pure-jnp references
+(``_conv1_1_packed_ref`` / ``_conv1_2_ref``) in
+tests/test_stage1_pallas.py — exact gradients of the identical math, in
+line with the repo's custom-VJP invariant (CLAUDE.md); pool-tie routing
+follows the saved idx, the same first-max semantics as
+conv_pallas.conv3x3_bias_relu_pool_packed.
 
 Replaces the capability of the reference's first two VGG feature layers
 (style_transfer.py:10-27, torchvision modules 0-4). Gated by
