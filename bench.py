@@ -40,7 +40,11 @@ TIMED_STEPS = 50
 # libtpu skew are the one implicated local state, MULTICHIP_r01).
 TPU_ATTEMPTS = 3
 ATTEMPT_TIMEOUT_S = 3000  # compile is ~450s fresh; leave wide margin
-BACKOFF_S = (20, 60)
+# Longer second backoff: the observed failure mode is the axon pool being
+# unreachable for MINUTES (round 4 saw >1h); a 5-minute wait before the
+# final cache-disabled attempt bridges short outages without risking the
+# driver's own timeout.
+BACKOFF_S = (60, 300)
 
 
 def build_step(dtype_name: str = "bfloat16", gram1: bool = True):
