@@ -28,6 +28,7 @@ VARIANTS = [
     ("default", {}, {}),
     ("packed_bwd_v2", {"ST3D_PACKED_BWD": "v2"}, {}),
     ("stage1_v2", {"ST3D_STAGE1_V2": "1"}, {}),
+    ("fused_gram_deep", {"ST3D_FUSED_GRAM_DEEP": "1"}, {}),
 ]
 
 if os.environ.get("ST3D_AB_VARIANTS"):

@@ -167,6 +167,21 @@ def _pallas_convs() -> frozenset:
     return frozenset(int(t) for t in env.split(",") if t)
 
 
+def _fused_gram_convs() -> frozenset:
+    """Conv indices whose style Gram is accumulated inside the Pallas conv
+    kernel (the tap is never exported). conv2_1 by default (+2.6% measured,
+    round 3); ST3D_NO_FUSED_GRAM2 removes it, ST3D_FUSED_GRAM_DEEP=1 adds
+    the deeper style taps conv3_1/conv4_1/conv5_1 (A/B candidate — their
+    export traffic is smaller, win unproven)."""
+    convs = set()
+    if not os.environ.get("ST3D_NO_FUSED_GRAM2"):
+        convs.add(TAP_CONV_INDEX["conv2_1"])
+    if os.environ.get("ST3D_FUSED_GRAM_DEEP"):
+        convs.update(TAP_CONV_INDEX[n]
+                     for n in ("conv3_1", "conv4_1", "conv5_1"))
+    return frozenset(convs)
+
+
 def _pallas_conv_ok(x: jnp.ndarray) -> bool:
     """Gate: real TPU backend, spatial dims the kernel's banding accepts."""
     if os.environ.get("ST3D_NO_PALLAS_CONV"):
@@ -350,21 +365,22 @@ def get_features(
                      + bf[None, :, None] * u[:, None, :]
                      + float(h * wd) * bf[None, :, None] * bf[None, None, :])
                 feats["conv1_1:gram"] = g
-        elif (gram1 and conv_i == TAP_CONV_INDEX["conv2_1"]
-              and "conv2_1" in wanted
-              and not os.environ.get("ST3D_NO_FUSED_GRAM2")
+        elif (gram1 and conv_i in _fused_gram_convs()
+              and name_by_conv.get(conv_i) in wanted
               and conv_i in _pallas_convs() and _pallas_conv_ok(x)):
-            # conv2_1's Gram accumulated inside the conv kernel's VMEM
+            # Style-tap Grams accumulated inside the conv kernel's VMEM
             # band — the tap is never exported to a second consumer (same
-            # motivation as the algebraic conv1_1 Gram above). Default ON
-            # since round 3's packed conv1_2 landed (ab_bench medians
-            # 35.53 vs 34.64 it/s, +2.6%; it was noise-level before —
-            # the packed layout removed the ops this fusion used to hide
-            # behind). Env ST3D_NO_FUSED_GRAM2 reverts for A/B.
+            # motivation as the algebraic conv1_1 Gram above). conv2_1 is
+            # default ON since round 3's packed conv1_2 landed (ab_bench
+            # medians 35.53 vs 34.64 it/s, +2.6%; it was noise-level
+            # before — the packed layout removed the ops this fusion used
+            # to hide behind; ST3D_NO_FUSED_GRAM2 reverts). The deeper
+            # style taps (conv3_1/conv4_1/conv5_1, smaller spatial) are
+            # the A/B candidate ST3D_FUSED_GRAM_DEEP=1.
             from st3d.kernels.conv_pallas import conv3x3_bias_gram
 
-            x, g2 = conv3x3_bias_gram(x, w, b)
-            feats["conv2_1:gram"] = g2
+            x, g = conv3x3_bias_gram(x, w, b)
+            feats[name_by_conv[conv_i] + ":gram"] = g
         elif (conv_i not in name_by_conv
               and not os.environ.get("ST3D_NO_FUSED_RELU")
               and conv_i in _pallas_convs() and _pallas_conv_ok(x)):

@@ -205,6 +205,56 @@ def test_style_content_loss_gram1_path():
     )
 
 
+def test_fused_gram_deep_matches_tap_route(monkeypatch):
+    """ST3D_FUSED_GRAM_DEEP=1 (conv3_1/conv4_1/conv5_1 Grams accumulated
+    inside the conv kernel, gates monkeypatched for CPU interpret mode)
+    returns the same loss and input gradients as the tap-export route."""
+    import jax
+
+    import st3d.kernels.conv_pallas as cp
+    import st3d.models.vgg as vggmod
+    from st3d.ops.losses import StyleContentTargets, style_content_loss
+
+    model = init_random_vgg19(0)
+    rs = np.random.RandomState(3)
+    content = jnp.asarray(rs.rand(2, 3, 32, 32), jnp.float32)
+    style = jnp.asarray(rs.rand(2, 3, 32, 32), jnp.float32)
+    cur = jnp.asarray(rs.rand(2, 32, 32, 3), jnp.float32)
+    targets = StyleContentTargets.create(content, style, model, layout="NHWC")
+
+    def loss(x):
+        feats = get_features(x, model, layout="NHWC", input_layout="NHWC",
+                             gram1=True)
+        return style_content_loss(feats, targets, 1e6, 1.0, layout="NHWC")
+
+    l_ref = float(loss(cur))
+    g_ref = jax.grad(loss)(cur)     # BEFORE the gates are patched
+
+    monkeypatch.setenv("ST3D_FUSED_GRAM_DEEP", "1")
+    monkeypatch.setattr(vggmod, "_pallas_conv_ok", lambda _x: True)
+    monkeypatch.setattr(
+        vggmod, "_pallas_convs",
+        lambda: frozenset({2, 4, 8, 12}),   # the fused-gram style taps
+    )
+    orig = cp.conv3x3_bias_gram
+    monkeypatch.setattr(
+        cp, "conv3x3_bias_gram",
+        lambda x, w, b, interpret=False: orig(x, w, b, True),
+    )
+
+    feats = get_features(cur, model, layout="NHWC", input_layout="NHWC",
+                         gram1=True)
+    for name in ("conv2_1", "conv3_1", "conv4_1", "conv5_1"):
+        assert name + ":gram" in feats, name
+
+    l_deep = float(loss(cur))
+    np.testing.assert_allclose(l_deep, l_ref, rtol=1e-5)
+    g_deep = jax.grad(loss)(cur)
+    np.testing.assert_allclose(
+        np.asarray(g_deep), np.asarray(g_ref), rtol=2e-3, atol=3e-5
+    )
+
+
 def test_gram1_bf16_close_to_tap_route():
     """Pin the bf16-mode asymmetry of the algebraic conv1_1 Gram (advisor
     r3): the tap route rounds the conv output A to bf16 before gramming;
