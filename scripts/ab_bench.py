@@ -54,6 +54,12 @@ def main() -> int:
 
     import bench
 
+    # Ladder tuning (VERDICT r3 item 2): $ST3D_AB_SIZE re-points the whole
+    # A/B at another rung (e.g. 768, the reference default) — the variant
+    # machinery is size-agnostic.
+    if os.environ.get("ST3D_AB_SIZE"):
+        bench.SIZE = int(os.environ["ST3D_AB_SIZE"])
+
     built = []
     for name, env, kwargs in VARIANTS:
         saved = {}

@@ -36,6 +36,12 @@ run bench_cold 10000 python bench.py
 # 5. Official bench, warm (AOT load — VERDICT item 7 evidence).
 run bench_warm 10000 python bench.py
 
+# 5b. 768² tuning sweep (VERDICT item 2): conv band budget + the round-4
+#     kernel candidates at the reference's default size, interleaved in one
+#     process. Results feed the ladder re-tune.
+ST3D_AB_SIZE=768 ST3D_AB_VARIANTS="default=,bp4096=ST3D_CONV_BLOCK_PIXELS:4096,bp16384=ST3D_CONV_BLOCK_PIXELS:16384,stage1_v2=ST3D_STAGE1_V2:1,gram_deep=ST3D_FUSED_GRAM_DEEP:1" \
+  run ab_768 7200 python scripts/ab_bench.py 5
+
 # 6. Resolution ladder with MFU (VERDICT item 2) -> BENCH_LADDER.json.
 run ladder 9000 python scripts/bench_ladder.py
 
