@@ -52,4 +52,11 @@ run trace768 4000 python scripts/perf_trace.py /tmp/trace768.json --size 768
 # 8. Config-5 flagship on the real chip (VERDICT item 4) -> FLEET_TPU.json.
 run fleet 6000 python scripts/fleet_tpu.py --size 256 --epochs 6
 
+# 9. First-approach end-to-end wall clock at 512² (VERDICT item 3 "Done"
+#    criterion): one real batch of 3000 ST + 100 MSE steps; the stage's
+#    rc-line timestamps in this log are the measurement.
+run first_e2e 3000 python first_approach.py --size 512 --n_views 4 \
+  --batch_size 4 --n_style_transfer_steps 3000 --n_mse_steps 100 \
+  --save_intermediate False --output_path /tmp/first_e2e_out
+
 echo "=== perf_r4 done $(date) ===" >> "$LOG"
