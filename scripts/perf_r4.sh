@@ -49,6 +49,9 @@ run ladder 9000 python scripts/bench_ladder.py
 #    default size, VERDICT weakness 2).
 run trace768 4000 python scripts/perf_trace.py /tmp/trace768.json --size 768
 
+# 7b. Hot loop A decomposition (VERDICT weakness 3: no PERF_NOTES entry).
+run trace_st2d 4000 python scripts/perf_trace.py /tmp/trace_st2d.json --st2d
+
 # 8. Config-5 flagship on the real chip (VERDICT item 4) -> FLEET_TPU.json.
 run fleet 6000 python scripts/fleet_tpu.py --size 256 --epochs 6
 

@@ -6,7 +6,11 @@ scan calls, parse the xplane with xprof's hlo_stats converter, divide by
 50 steps (2 calls x 25 scanned). The `while` row wraps the whole scan —
 excluded from the category sums.
 
-Usage: python scripts/perf_trace.py [out.json] [--size N]
+Usage: python scripts/perf_trace.py [out.json] [--size N] [--st2d]
+
+``--st2d`` traces hot loop A (the 2D style-transfer step, VERDICT r3
+weakness 3: it had no PERF_NOTES decomposition) instead of the 3D bench
+step — same workload shape as scripts/bench_st2d.py.
 """
 
 import glob
@@ -30,7 +34,35 @@ def main() -> int:
         del sys.argv[i:i + 2]
 
     assert jax.default_backend() == "tpu", "profile on the TPU backend"
-    steps, params, opt_state, n = bench.build_step("bfloat16")
+    if "--st2d" in sys.argv:
+        sys.argv.remove("--st2d")
+        import jax.numpy as jnp
+        import optax
+
+        from st3d.engine.style_transfer2d import _scan_steps
+        from st3d.io.image import load_as_tensor
+        from st3d.models.vgg import get_vgg
+        from st3d.ops.losses import StyleContentTargets
+        from st3d.utils.assets import resolve_asset
+
+        size, views, n = bench.SIZE, bench.VIEWS, 25
+        vgg = get_vgg()
+        style = load_as_tensor(resolve_asset("./imgs/Style_1.jpg"), size)
+        style_b = jnp.broadcast_to(style[None], (views,) + style.shape)
+        targets = StyleContentTargets.create(
+            style_b, style_b, vgg, dtype=jnp.bfloat16, layout="NHWC")
+        imgs = jnp.transpose(style_b, (0, 2, 3, 1))
+        opt_state = optax.adam(0.003).init(imgs)
+
+        def steps(im, st):
+            im, st, losses = _scan_steps(
+                im, st, targets, vgg, jnp.float32(1e6), jnp.float32(1.0),
+                n, 0.003, jnp.bfloat16)
+            return im, st, losses
+
+        params, opt_state = imgs, opt_state
+    else:
+        steps, params, opt_state, n = bench.build_step("bfloat16")
     params, opt_state, losses = steps(params, opt_state)  # compile+warm
     losses.block_until_ready()
 
