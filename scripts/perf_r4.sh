@@ -26,8 +26,10 @@ run smoke 3600 python scripts/tpu_smoke.py
 # 2. Hot loop A (2D ST) throughput with the NHWC buffer (VERDICT item 3).
 run st2d 3000 python scripts/bench_st2d.py
 
-# 3. Packed-bwd v1 vs v2 interleaved A/B (VERDICT item 5b).
-run ab_packed_bwd 3600 python scripts/ab_bench.py 7
+# 3. Round-4 kernel candidates, interleaved A/B (VERDICT items 5a/5b):
+#    default vs packed-bwd v2 vs stage1_v2 vs fused_gram_deep. 4 variants
+#    x ~450s compile each -> generous bound.
+run ab_packed_bwd 6000 python scripts/ab_bench.py 7
 
 # 4. Official bench, cold (writes the AOT executable blob).
 #    bench.py retries internally (3 x 3000s) — generous outer bound.
@@ -40,7 +42,7 @@ run bench_warm 10000 python bench.py
 #     kernel candidates at the reference's default size, interleaved in one
 #     process. Results feed the ladder re-tune.
 ST3D_AB_SIZE=768 ST3D_AB_VARIANTS="default=,bp4096=ST3D_CONV_BLOCK_PIXELS:4096,bp16384=ST3D_CONV_BLOCK_PIXELS:16384,stage1_v2=ST3D_STAGE1_V2:1,gram_deep=ST3D_FUSED_GRAM_DEEP:1" \
-  run ab_768 7200 python scripts/ab_bench.py 5
+  run ab_768 9000 python scripts/ab_bench.py 5
 
 # 6. Resolution ladder with MFU (VERDICT item 2) -> BENCH_LADDER.json.
 run ladder 9000 python scripts/bench_ladder.py
