@@ -48,6 +48,15 @@ def _environment_key() -> str:
     return f"jax={jax.__version__};kind={dev.device_kind};rt={platver}"
 
 
+def _n_exec_devices(compiled) -> "int | None":
+    """Device count a compiled/loaded executable actually spans (None when
+    the private introspection path is unavailable — fail open)."""
+    try:
+        return len(compiled._executable.xla_executable.local_devices())
+    except Exception:
+        return None
+
+
 def load_or_compile(jitted, example_args, tag: str, verbose: bool = True):
     """Return a compiled executable for ``jitted`` at ``example_args``'
     shapes/dtypes, loading it from the AOT cache when the environment+HLO
@@ -87,8 +96,18 @@ def load_or_compile(jitted, example_args, tag: str, verbose: bool = True):
             )
 
             with open(path, "rb") as f:
-                payload, in_tree, out_tree = pickle.load(f)
+                payload, in_tree, out_tree, n_dev = pickle.load(f)
             compiled = deserialize_and_load(payload, in_tree, out_tree)
+            # deserialize_and_load can silently map a single-device
+            # executable onto ALL local devices (seen on the 8-virtual-
+            # device CPU host: input_shardings still say device 0 but the
+            # loaded executable demands 8 input shards and execution
+            # fails). Reject any blob whose loaded device count differs
+            # from the count recorded at serialize time.
+            got = _n_exec_devices(compiled)
+            if n_dev is not None and got is not None and got != n_dev:
+                raise RuntimeError(
+                    f"deserialized onto {got} devices, expected {n_dev}")
             if verbose:
                 print(f"aot: loaded {tag} executable from {path} "
                       "(compile skipped)", file=sys.stderr)
@@ -106,7 +125,8 @@ def load_or_compile(jitted, example_args, tag: str, verbose: bool = True):
         os.makedirs(cache_dir, exist_ok=True)
         tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "wb") as f:
-            pickle.dump((payload, in_tree, out_tree), f)
+            pickle.dump((payload, in_tree, out_tree,
+                         _n_exec_devices(compiled)), f)
         os.replace(tmp, path)
         if verbose:
             print(f"aot: serialized {tag} executable to {path} "

@@ -1,0 +1,121 @@
+"""AOT executable cache (st3d/utils/aot.py — the bench warm-start path):
+round trip, cache-hit equivalence, disable switch, corrupt-blob fallback.
+
+Runs on the CPU backend (conftest); jax.experimental.serialize_executable
+works for CPU executables, so the full serialize → deserialize → execute
+path is exercised for real.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from st3d.utils.aot import aot_cache_dir, load_or_compile
+
+
+@jax.jit
+def _fn(x, y):
+    return jnp.tanh(x @ y) * 2.0
+
+
+def _args():
+    rs = np.random.RandomState(0)
+    return (jnp.asarray(rs.rand(16, 8), jnp.float32),
+            jnp.asarray(rs.rand(8, 4), jnp.float32))
+
+
+def test_roundtrip_guard_multidevice(tmp_path, monkeypatch):
+    """On this 8-virtual-device host, jax's deserialize_and_load maps a
+    single-device executable onto all 8 local devices (execution would
+    fail with 'expected 8 shards'); load_or_compile must detect the
+    mismatch, reject the blob, and fall back to a working compile."""
+    monkeypatch.setenv("ST3D_AOT_CACHE", str(tmp_path))
+    x, y = _args()
+
+    c1, hit1, meta1 = load_or_compile(_fn, (x, y), tag="t", verbose=False)
+    assert hit1 is False and meta1.startswith(str(tmp_path))
+    out1 = np.asarray(c1(x, y))
+
+    blobs = [p for p in os.listdir(tmp_path) if p.endswith(".aot")]
+    if not blobs:
+        pytest.skip("executable serialization unsupported on this backend")
+
+    c2, hit2, meta2 = load_or_compile(_fn, (x, y), tag="t", verbose=False)
+    assert meta2 == meta1
+    if jax.local_device_count() == 1:
+        assert hit2 is True           # clean round trip on 1 device
+    # Either way the returned executable must WORK:
+    np.testing.assert_allclose(np.asarray(c2(x, y)), out1, rtol=1e-6)
+
+
+def test_cache_hit_single_device(tmp_path):
+    """The true warm-start path (what bench.py uses on the single TPU
+    chip): in a 1-device process, run 2 must load from the cache and
+    execute. Subprocess because conftest forces 8 virtual devices here."""
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    code = textwrap.dedent("""
+        import sys; sys.path.insert(0, %r)
+        import jax; jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp, numpy as np
+        from st3d.utils.aot import load_or_compile
+
+        @jax.jit
+        def f(x, y): return jnp.tanh(x @ y) * 2.0
+        x = jnp.ones((16, 8)); y = jnp.ones((8, 4))
+        c1, hit1, _ = load_or_compile(f, (x, y), tag="t", verbose=False)
+        out1 = np.asarray(c1(x, y))
+        c2, hit2, _ = load_or_compile(f, (x, y), tag="t", verbose=False)
+        assert hit1 is False, hit1
+        assert hit2 is True, "no cache hit on run 2 (single device)"
+        np.testing.assert_allclose(np.asarray(c2(x, y)), out1, rtol=1e-6)
+        print("SINGLE_DEVICE_HIT_OK")
+    """) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, ST3D_AOT_CACHE=str(tmp_path))
+    env.pop("XLA_FLAGS", None)        # no forced 8-device host
+    proc = subprocess.run([_sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=240)
+    if "serialization unsupported" in proc.stderr:
+        pytest.skip("executable serialization unsupported on this backend")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "SINGLE_DEVICE_HIT_OK" in proc.stdout
+
+
+def test_key_separates_shapes(tmp_path, monkeypatch):
+    monkeypatch.setenv("ST3D_AOT_CACHE", str(tmp_path))
+    x, y = _args()
+    load_or_compile(_fn, (x, y), tag="t", verbose=False)
+    # Different shapes -> different HLO -> different key -> a fresh compile
+    # (NOT a bogus cache hit executing wrong shapes).
+    x2 = jnp.concatenate([x, x], axis=0)
+    c, hit, _ = load_or_compile(_fn, (x2, y), tag="t", verbose=False)
+    assert hit is False
+    assert c(x2, y).shape == (32, 4)
+
+
+def test_disabled_by_empty_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("ST3D_AOT_CACHE", "")
+    assert aot_cache_dir() == ""
+    x, y = _args()
+    c, hit, meta = load_or_compile(_fn, (x, y), tag="t", verbose=False)
+    assert hit is False and meta == ""
+    assert c(x, y).shape == (16, 4)
+
+
+def test_corrupt_blob_falls_back(tmp_path, monkeypatch):
+    monkeypatch.setenv("ST3D_AOT_CACHE", str(tmp_path))
+    x, y = _args()
+    _, _, meta = load_or_compile(_fn, (x, y), tag="t", verbose=False)
+    blobs = [p for p in os.listdir(tmp_path) if p.endswith(".aot")]
+    if not blobs:
+        pytest.skip("executable serialization unsupported on this backend")
+    with open(os.path.join(tmp_path, blobs[0]), "wb") as f:
+        f.write(b"not a pickle")
+    c, hit, _ = load_or_compile(_fn, (x, y), tag="t", verbose=False)
+    assert hit is False                      # fell back to a fresh compile
+    assert c(x, y).shape == (16, 4)
