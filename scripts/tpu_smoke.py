@@ -453,6 +453,66 @@ def main() -> int:
         f"(compile+run {time.time() - t0:.0f}s)",
     )
 
+    # --- 8. fused conv+Gram at the DEEP style-tap shapes ----------------
+    # conv2_1's fused Gram has been in production since round 3 (512²-input
+    # shape); ST3D_FUSED_GRAM_DEEP routes conv3_1/conv4_1/conv5_1 through
+    # the same kernel at cin 128->512 — never compiled on-device before
+    # this check. fwd conv + Gram vs XLA, bwd (incl. a Gram cotangent)
+    # vs the unfused chain.
+    from st3d.kernels.conv_pallas import conv3x3_bias_gram
+
+    for dtype, shape, cout, ftol, gtol in (
+        (jnp.bfloat16, (2, 128, 128, 128), 256, 1.0, 0.02),   # conv3_1
+        (jnp.bfloat16, (2, 32, 32, 512), 512, 4.0, 0.02),     # conv5_1
+    ):
+        key = jax.random.PRNGKey(17)
+        xc = jax.random.normal(key, shape, dtype)
+        wc = (jax.random.normal(jax.random.fold_in(key, 1),
+                                (3, 3, shape[3], cout), jnp.float32)
+              * 0.05).astype(dtype)
+        bc = jax.random.normal(jax.random.fold_in(key, 2), (cout,), dtype)
+        t0 = time.time()
+
+        def _xla_cg(xx):
+            y = jax.lax.conv_general_dilated(
+                xx, wc, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=dtype) + bc
+            g = jnp.einsum("bhwc,bhwd->bcd", y.astype(jnp.float32),
+                           y.astype(jnp.float32))
+            return y, g
+
+        y_ref, g_ref = jax.jit(_xla_cg)(xc)
+        y_k, g_k = jax.jit(lambda xx: conv3x3_bias_gram(xx, wc, bc))(xc)
+        dfwd = float(jnp.max(jnp.abs(
+            y_ref.astype(jnp.float32) - y_k.astype(jnp.float32))))
+        dg = float(jnp.max(jnp.abs(g_k - g_ref))
+                   / max(float(jnp.max(jnp.abs(g_ref))), 1e-9))
+        ctg = jax.random.normal(jax.random.fold_in(key, 3),
+                                g_ref.shape, jnp.float32)
+        wgt = jax.random.normal(jax.random.fold_in(key, 4), y_ref.shape,
+                                dtype)
+
+        def _loss(fn):
+            def go(xx):
+                y, g = fn(xx)
+                return (jnp.sum((y * wgt).astype(jnp.float32))
+                        + jnp.sum(g * ctg))
+            return go
+
+        gb_k = jax.jit(jax.grad(_loss(
+            lambda xx: conv3x3_bias_gram(xx, wc, bc))))(xc)
+        gb_r = jax.jit(jax.grad(_loss(_xla_cg)))(xc)
+        dabs = jnp.abs(gb_k.astype(jnp.float32) - gb_r.astype(jnp.float32))
+        scale = max(float(jnp.max(jnp.abs(gb_r.astype(jnp.float32)))), 1e-9)
+        dbwd = float(jnp.max(dabs)) / scale
+        record(
+            f"pallas_conv_gram_{shape[1]}x{shape[3]}",
+            dfwd <= ftol and dg <= gtol and dbwd <= 0.05,
+            f"fwd max|d|={dfwd:.3g} (tol {ftol}) gram rel|d|={dg:.3g} "
+            f"bwd rel max|d|={dbwd:.3g} (compile+run {time.time()-t0:.0f}s)",
+        )
+
     results["total_s"] = round(time.time() - t_start, 1)
     _write(results, ok)
     return 0 if ok else 1
