@@ -19,16 +19,20 @@ run() {
   echo "--- $name rc=$? ($(date)) ---" >> "$LOG"
 }
 
-# 1. Kernel/donation smoke (regenerates TPU_SMOKE.json; must stay green —
-#    validates every kernel the stages below lean on).
-run smoke 3600 python scripts/tpu_smoke.py
-
-# 2. Official bench, cold (VERDICT item 1 — THE round artifact; also
-#    writes the AOT executable blob). bench.py retries internally.
+# 1. Official bench, cold (VERDICT item 1 — THE round artifact; also
+#    writes the AOT executable blob that makes the driver's own round-end
+#    bench.py run warm-start). bench.py retries internally. Runs FIRST:
+#    if the outage window reopens only briefly, this is the stage that
+#    must complete. (Kernel defaults are unchanged since TPU_SMOKE.json
+#    went green, so running it before the smoke is safe.)
 run bench_cold 10000 python bench.py
 
-# 3. Official bench, warm (AOT load — VERDICT item 7 evidence).
+# 2. Official bench, warm (AOT load — VERDICT item 7 evidence).
 run bench_warm 10000 python bench.py
+
+# 3. Kernel/donation smoke (regenerates TPU_SMOKE.json; must stay green —
+#    validates every kernel the stages below lean on).
+run smoke 3600 python scripts/tpu_smoke.py
 
 # 4. Round-4 kernel candidates, interleaved A/B (VERDICT items 5a/5b):
 #    default vs packed-bwd v2 vs stage1_v2 vs fused_gram_deep. 4 variants
