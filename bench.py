@@ -318,9 +318,15 @@ def _measure_tpu_with_retries(dtype_name: str) -> dict:
     for attempt in range(TPU_ATTEMPTS):
         env = os.environ.copy()
         if attempt == TPU_ATTEMPTS - 1:
-            env["ST3D_COMPILE_CACHE"] = ""  # stale-AOT-blob suspicion
+            # Stale-blob suspicion covers BOTH on-disk caches: the XLA
+            # persistent compile cache and the AOT executable cache (a
+            # poisoned .jax_aot blob that deserializes but fails at
+            # execution reproduces identically on every attempt otherwise).
+            env["ST3D_COMPILE_CACHE"] = ""
+            env["ST3D_NO_AOT"] = "1"
             print("bench: last attempt runs with the persistent compile "
-                  "cache DISABLED", file=sys.stderr)
+                  "cache AND the AOT executable cache DISABLED",
+                  file=sys.stderr)
         out_path = tempfile.mktemp(prefix="bench_tpu_", suffix=".json")
         try:
             proc = subprocess.run(

@@ -55,18 +55,21 @@ def main() -> int:
     content_b = jnp.broadcast_to(content[None], (views,) + style.shape)
     init = content_b
 
-    # Warmup/compile: one chunk.
+    # Warmup/compile: one chunk. block_until_ready: jit dispatch is async —
+    # without it the windows time enqueue, not compute (bench.py discipline).
     t0 = time.time()
-    style_transfer(init, content_b, style_b, vgg, steps=25, chunk=25,
-                   progress=False, dtype=dtype)
+    jax.block_until_ready(
+        style_transfer(init, content_b, style_b, vgg, steps=25, chunk=25,
+                       progress=False, dtype=dtype))
     compile_s = time.time() - t0
 
     # Timed: three windows, median (run variance discipline, PERF_NOTES).
     rates = []
     for _ in range(3):
         t0 = time.time()
-        style_transfer(init, content_b, style_b, vgg, steps=args.steps,
-                       chunk=100, progress=False, dtype=dtype)
+        jax.block_until_ready(
+            style_transfer(init, content_b, style_b, vgg, steps=args.steps,
+                           chunk=100, progress=False, dtype=dtype))
         rates.append(args.steps / (time.time() - t0))
     it_s = sorted(rates)[1]
 

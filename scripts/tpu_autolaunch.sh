@@ -22,8 +22,11 @@ i=0
 while true; do
   i=$((i + 1))
   # A cheap real-compute probe; a healthy backend answers in ~30s
-  # (init + tiny compile), a broken one errors out in ~2min.
-  if timeout 420 python - >"$PROBE_LOG" 2>&1 <<'EOF'
+  # (init + tiny compile), a broken one errors out in ~2min. During the
+  # round-4 outage the failure mode shifted from a fast error to a hang
+  # right after plugin registration — a recovering backend may just be
+  # slow, so give it 15min before declaring the probe dead.
+  if timeout 900 python - >"$PROBE_LOG" 2>&1 <<'EOF'
 import jax, jax.numpy as jnp
 assert jax.devices()[0].platform != "cpu", jax.devices()
 x = jnp.ones((256, 256), jnp.bfloat16)

@@ -89,8 +89,10 @@ def _multi_style_content_loss(feats, content_features, style_grams,
         for layer in STYLE_LAYERS:
             if layer + ":gram" in feats_s:
                 g = feats_s[layer + ":gram"]
-                scale = {"conv1_1": 1, "conv2_1": 2}[layer]
-                # floor-div matches the maxpools' floor semantics exactly.
+                scale = {"conv1_1": 1, "conv2_1": 2, "conv3_1": 4,
+                         "conv4_1": 8, "conv5_1": 16}[layer]
+                # floor-div matches the maxpools' floor semantics exactly
+                # at every depth: (h//2)//2 == h//4 (nested floor-div).
                 c, h = g.shape[-1], image_h // scale
             else:
                 f = feats_s[layer]

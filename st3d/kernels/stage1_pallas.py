@@ -157,6 +157,22 @@ def _conv1_2_ref(z5, w, b):
     return jnp.max(g, axis=3).astype(z5.dtype)
 
 
+def _conv1_2_ref_with_idx(z5, w, b):
+    """_conv1_2_ref plus the kernel's idx output (first-max routing —
+    jnp.argmax picks the first maximum, matching the kernel's tie-break).
+    The bh<2 forward fallback of conv1_2_packed_pool."""
+    p = quad_patches_ref(z5)
+    wq, bq = pack_weights_phase(w.astype(z5.dtype), b.astype(z5.dtype))
+    acc = jnp.einsum("bhwk,kn->bhwn", p, wq,
+                     preferred_element_type=jnp.float32)
+    acc = jnp.maximum(acc + bq.astype(jnp.float32), 0.0)
+    acc = acc.astype(z5.dtype).astype(jnp.float32)     # pool on out-dtype
+    cout = acc.shape[-1] // 4
+    g = acc.reshape(acc.shape[:3] + (4, cout))
+    return (jnp.max(g, axis=3).astype(z5.dtype),
+            jnp.argmax(g, axis=3).astype(z5.dtype))
+
+
 # ---------------------------------------------------------------------------
 # Selection fold: quad-patch Gram stats -> the standard 27-patch stats
 # ---------------------------------------------------------------------------
@@ -178,33 +194,32 @@ _S27 = None
 
 def fold_gram48(g48, s48, w, b, n_pixels):
     """conv1_1 Gram from quad-patch stats: PtP = sum_i S_i G48 S_i^T and
-    s27 = sum_i S_i s48, then vgg's gram1 closed form
-    G = W^T PtP W + u b^T + b u^T + N b b^T (u = s27 W)."""
+    s27 = sum_i S_i s48, then vgg's gram1 closed form (the single home
+    of the parity-critical formula — vgg.gram1_closed_form)."""
+    from st3d.models.vgg import gram1_closed_form
+
     global _S27
     if _S27 is None:
         _S27 = jnp.asarray(_selection_matrices(3))
     s = _S27                                            # (4, 27, 48)
     ptp = jnp.einsum("ikl,blm,inm->bkn", s, g48.astype(jnp.float32), s)
     s27 = jnp.einsum("ikl,bl->bk", s, s48.astype(jnp.float32))
-    w27 = w.reshape(27, -1).astype(jnp.float32)
-    bf = b.astype(jnp.float32)
-    u = s27 @ w27
-    g = jnp.einsum("ko,bkl,lp->bop", w27, ptp, w27)
-    return (g + u[:, :, None] * bf[None, None, :]
-            + bf[None, :, None] * u[:, None, :]
-            + float(n_pixels) * bf[None, :, None] * bf[None, None, :])
+    return gram1_closed_form(ptp, s27, w, b, n_pixels)
 
 
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _band_rows_packed(hp: int, wp: int, kin: int) -> int:
-    """Packed band rows: the (bh, wp, kin) bf16 patch scratch + f32 acc
-    dominate VMEM; cap the scratch at ~4MB (kin=1024, wp=256 -> bh=8).
+def _band_rows_packed(hp: int, wp: int, kin: int, itemsize: int = 2) -> int:
+    """Packed band rows: the (bh, wp, kin) patch scratch + f32 acc dominate
+    VMEM; cap the scratch at ~4MB (bf16, kin=1024, wp=256 -> bh=8).
+    ``itemsize`` is the compute dtype's byte width — f32 runs halve the
+    band so the scratches stay inside Mosaic's 16MB scoped VMEM (CLAUDE.md:
+    a fixed block that fits the bench shape WILL OOM at other dtypes).
     Also capped at hp/2 so the clipped-halo row windows always have >= 2
     bands to span (the first/last-band zero staging assumes it)."""
-    budget = max(1, (4 << 20) // max(1, wp * kin * 2))
+    budget = max(1, (4 << 20) // max(1, wp * kin * itemsize))
     bh = max(1, min(hp // 2, 8, budget))
     while hp % bh:
         bh -= 1
@@ -330,6 +345,43 @@ def _conv1_2_kernel(x_ref, w_ref, b_ref, o_ref, i_ref,
     i_ref[0] = idx.astype(i_ref.dtype).reshape(bh, wp, pool_c)
 
 
+def _zero_dq_guards(dq_ref, rows, wp, kq):
+    """Zero the dP scratch's guard rows (0 and rows+1) and border columns;
+    shared by both backward kernels — their folds rely on every
+    out-of-image read resolving EXACTLY to one of these zeros."""
+    dq_ref[0:1, :, :] = jnp.zeros((1, wp + 2, kq), dq_ref.dtype)
+    dq_ref[rows + 1:rows + 2, :, :] = jnp.zeros((1, wp + 2, kq),
+                                                dq_ref.dtype)
+    zc = jnp.zeros((rows, 1, kq), dq_ref.dtype)
+    dq_ref[1:rows + 1, 0:1, :] = zc
+    dq_ref[1:rows + 1, wp + 1:wp + 2, :] = zc
+
+
+def _fold_dq_to_packed(dq_ref, o_ref, shift, bh, wp, cin):
+    """The 16-term shifted overlap-add fold from the dP scratch back to
+    the packed (1, bh, 2, wp, 2cin) output block, shared by both backward
+    kernels: out[Y, py, X, px*cin+c] sums dP[Y-ty, X-tx, (rp,cp,c)] over
+    the 2 row-phases matching py and the 2 col-phases matching px; a fold
+    read for quad row Y-ty at out-row r sits at scratch row r + (2 +
+    shift - ty), so every out-of-image quad row resolves to a guard row
+    (base = 2+shift-ty in [0,4], no masks or branches)."""
+    for py in range(2):
+        accs = [jnp.zeros((bh, wp, cin), jnp.float32) for _ in range(2)]
+        for rp in range(4):
+            ty, pyr = PHASES[rp]
+            if pyr != py:
+                continue
+            base = 2 + shift - ty
+            for cp in range(4):
+                tx, px = PHASES[cp]
+                k = (rp * 4 + cp) * cin
+                accs[px] = accs[px] + dq_ref[
+                    pl.ds(base, bh), pl.ds(1 - tx, wp), k:k + cin
+                ].astype(jnp.float32)
+        o_ref[0, :, py, :, 0:cin] = accs[0].astype(o_ref.dtype)
+        o_ref[0, :, py, :, cin:2 * cin] = accs[1].astype(o_ref.dtype)
+
+
 def _conv1_2_bwd_kernel(dp_ref, i_ref, p_ref, w_ref, o_ref, dpre_ref,
                         dq_ref, *, bh, wp, cout, cin, nb):
     """dz5 from (dpool, idx, pooled): route the pool cotangent to its
@@ -364,34 +416,14 @@ def _conv1_2_bwd_kernel(dp_ref, i_ref, p_ref, w_ref, o_ref, dpre_ref,
     # product stays ~1MB per row (a full-band f32 temp would blow the
     # 16MB scoped VMEM).
     kq = 16 * cin
-    dq_ref[0:1, :, :] = jnp.zeros((1, wp + 2, kq), dq_ref.dtype)
-    dq_ref[rows + 1:rows + 2, :, :] = jnp.zeros((1, wp + 2, kq),
-                                                dq_ref.dtype)
-    zc = jnp.zeros((rows, 1, kq), dq_ref.dtype)
-    dq_ref[1:rows + 1, 0:1, :] = zc
-    dq_ref[1:rows + 1, wp + 1:wp + 2, :] = zc
+    _zero_dq_guards(dq_ref, rows, wp, kq)
     for r in range(rows):
         dq_ref[r + 1, 1:wp + 1, :] = jnp.dot(
             dpre_ref[r], w_ref[...], preferred_element_type=jnp.float32,
         ).astype(dq_ref.dtype)
 
-    # 3. Fold. dz5[Y, py, X, px*cin+c] sums dP[Y-ty, X-tx, (rp,cp,c)]
-    # over the 2 row-phases matching py and the 2 col-phases matching px.
-    for py in range(2):
-        accs = [jnp.zeros((bh, wp, cin), jnp.float32) for _ in range(2)]
-        for rp in range(4):
-            ty, pyr = PHASES[rp]
-            if pyr != py:
-                continue
-            base = 2 + shift - ty
-            for cp in range(4):
-                tx, px = PHASES[cp]
-                k = (rp * 4 + cp) * cin
-                accs[px] = accs[px] + dq_ref[
-                    pl.ds(base, bh), pl.ds(1 - tx, wp), k:k + cin
-                ].astype(jnp.float32)
-        o_ref[0, :, py, :, 0:cin] = accs[0].astype(o_ref.dtype)
-        o_ref[0, :, py, :, cin:2 * cin] = accs[1].astype(o_ref.dtype)
+    # 3. Fold (see _fold_dq_to_packed).
+    _fold_dq_to_packed(dq_ref, o_ref, shift, bh, wp, cin)
 
 
 def _conv1_1_bwd_kernel(dz_ref, z_ref, x_ref, w_ref, g_ref, s_ref, o_ref,
@@ -433,33 +465,13 @@ def _conv1_1_bwd_kernel(dz_ref, z_ref, x_ref, w_ref, g_ref, s_ref, o_ref,
             preferred_element_type=jnp.float32,
         )
 
-    # Guard-row fold (see _conv1_2_bwd_kernel): dP of quad row g lands at
-    # dq local (g - start) + 1; rows 0 / rows+1 and border cols are zero.
-    dq_ref[0:1, :, :] = jnp.zeros((1, wp + 2, kq), dq_ref.dtype)
-    dq_ref[rows + 1:rows + 2, :, :] = jnp.zeros((1, wp + 2, kq),
-                                                dq_ref.dtype)
-    zc = jnp.zeros((rows, 1, kq), dq_ref.dtype)
-    dq_ref[1:rows + 1, 0:1, :] = zc
-    dq_ref[1:rows + 1, wp + 1:wp + 2, :] = zc
+    # Guard-row fold (shared helpers): dP of quad row g lands at dq local
+    # (g - start) + 1; rows 0 / rows+1 and border cols are zero.
+    _zero_dq_guards(dq_ref, rows, wp, kq)
     dq_ref[1:rows + 1, 1:wp + 1, :] = dp48.reshape(rows, wp, kq).astype(
         dq_ref.dtype
     )
-    shift = _band_shift(hi, nb)
-    for py in range(2):
-        accs = [jnp.zeros((bh, wp, cin), jnp.float32) for _ in range(2)]
-        for rp in range(4):
-            ty, pyr = PHASES[rp]
-            if pyr != py:
-                continue
-            base = 2 + shift - ty
-            for cp in range(4):
-                tx, px = PHASES[cp]
-                k = (rp * 4 + cp) * cin
-                accs[px] = accs[px] + dq_ref[
-                    pl.ds(base, bh), pl.ds(1 - tx, wp), k:k + cin
-                ].astype(jnp.float32)
-        o_ref[0, :, py, :, 0:cin] = accs[0].astype(o_ref.dtype)
-        o_ref[0, :, py, :, cin:2 * cin] = accs[1].astype(o_ref.dtype)
+    _fold_dq_to_packed(dq_ref, o_ref, _band_shift(hi, nb), bh, wp, cin)
 
 
 def conv1_1_bwd_dx(dz5, z5, x, w, dg48, ds48, interpret=False):
@@ -472,7 +484,8 @@ def conv1_1_bwd_dx(dz5, z5, x, w, dg48, ds48, interpret=False):
     )
     wt = wq.T                                    # (4cout, 16cin)
     sym = (dg48 + jnp.swapaxes(dg48, -1, -2)).astype(jnp.float32)
-    bh = _band_rows_packed(hp, wp, 16 * cin)
+    bh = _band_rows_packed(hp, wp, 16 * cin, dz5.dtype.itemsize)
+    assert bh >= 2 and hp - bh - 4 >= 0, (hp, bh)  # caller gates (see _c11_bwd)
     nb = hp // bh
     x5 = pack_input5(x.astype(dz5.dtype))
     kern = functools.partial(_conv1_1_bwd_kernel, bh=bh, wp=wp, cin=cin,
@@ -521,7 +534,7 @@ def _packed_call(x5, wq, bq, kernel, out_specs, out_shape, scratch,
                  interpret):
     bsz, hp, _, wp, cin2 = x5.shape
     cin = cin2 // 2
-    bh = _band_rows_packed(hp, wp, 16 * cin)
+    bh = _band_rows_packed(hp, wp, 16 * cin, x5.dtype.itemsize)
     nb = hp // bh
     kern = functools.partial(kernel, bh=bh, wp=wp, cin=cin, nb=nb)
     x_spec = pl.BlockSpec(
@@ -556,9 +569,14 @@ def conv1_1_packed(x, w, b, interpret=False):
     bsz, h, wi, cin = x.shape
     hp, wp = h // 2, wi // 2
     cout = w.shape[3]
+    bh = _band_rows_packed(hp, wp, 16 * cin, jnp.dtype(x.dtype).itemsize)
+    if bh < 2:
+        # bh==1 (prime hp or hp < 4): the kernels' first/last-band
+        # boundary staging degenerates (zero-length Pallas slices) —
+        # pure-jnp reference fallback; _c11_bwd mirrors this gate.
+        return _conv1_1_packed_ref(x, w, b)
     wq, bq = pack_weights_phase(w.astype(x.dtype), b.astype(x.dtype))
     x5 = pack_input5(x)
-    bh = _band_rows_packed(hp, wp, 16 * cin)
     out_specs = [
         pl.BlockSpec((1, bh, 2, wp, 2 * cout),
                      lambda bi, hi: (bi, hi, 0, 0, 0)),
@@ -586,11 +604,15 @@ def _c11_bwd(interpret, res, cts):
     x, z5, w, b = res
     dz5, dg48, ds48 = cts
     hp, wp = x.shape[1] // 2, x.shape[2] // 2
-    bh = _band_rows_packed(hp, wp, 16 * x.shape[3])
-    if hp - bh - 4 >= 0:
+    bh = _band_rows_packed(hp, wp, 16 * x.shape[3],
+                           jnp.dtype(z5.dtype).itemsize)
+    if bh >= 2 and hp - bh - 4 >= 0:
         dx = conv1_1_bwd_dx(dz5.astype(z5.dtype), z5, x, w, dg48, ds48,
                             interpret)
-    else:  # window too short for the double-halo x block: jnp fallback
+    else:  # bh==1 (prime hp: the bwd boundary staging keys on hi==0 /
+        # hi==nb-1 and assumes the border quad rows live only in the
+        # first/last band) or window too short for the double-halo x
+        # block: jnp fallback
         _, vjp = jax.vjp(lambda xx: _conv1_1_packed_ref(xx, w, b), x)
         (dx,) = vjp((dz5.astype(z5.dtype), dg48, ds48))
     return dx, None, None
@@ -609,8 +631,11 @@ def conv1_2_packed_pool(z5, w, b, interpret=False):
     bsz, hp, _, wp, cin2 = z5.shape
     cin = cin2 // 2
     cout = w.shape[3]
+    bh = _band_rows_packed(hp, wp, 16 * cin, jnp.dtype(z5.dtype).itemsize)
+    if bh < 2:
+        # Degenerate banding: jnp reference fallback (see conv1_1_packed).
+        return _conv1_2_ref_with_idx(z5, w, b)
     wq, bq = pack_weights_phase(w.astype(z5.dtype), b.astype(z5.dtype))
-    bh = _band_rows_packed(hp, wp, 16 * cin)
     out_sd = jax.ShapeDtypeStruct((bsz, hp, wp, cout), z5.dtype)
     out_specs = [
         pl.BlockSpec((1, bh, wp, cout), lambda bi, hi: (bi, hi, 0, 0)),
@@ -630,7 +655,8 @@ def conv1_2_bwd_dz5(ct_p, pooled, idx, w, interpret=False):
     wq, _ = pack_weights_phase(w.astype(ct_p.dtype),
                                jnp.zeros((cout,), ct_p.dtype))
     wt = wq.T                                     # (4cout, 16cin)
-    bh = _band_rows_packed(hp, wp, 16 * cin)
+    bh = _band_rows_packed(hp, wp, 16 * cin, ct_p.dtype.itemsize)
+    assert bh >= 2, (hp, bh)          # caller gates (see _c12_bwd)
     nb = hp // bh
     kern = functools.partial(_conv1_2_bwd_kernel, bh=bh, wp=wp, cout=cout,
                              cin=cin, nb=nb)
@@ -659,29 +685,43 @@ def conv1_2_bwd_dz5(ct_p, pooled, idx, w, interpret=False):
 
 def _c12_fwd(z5, w, b, interpret):
     p, idx = conv1_2_packed_pool(z5, w, b, interpret)
-    return (p, idx), (p, idx, w)
+    return (p, idx), (p, idx, w, z5, b)
 
 
 def _c12_bwd(interpret, res, cts):
     ct_p, _ = cts                        # idx is non-differentiable
-    pooled, idx, w = res
+    pooled, idx, w, z5, b = res
+    hp, wp = z5.shape[1], z5.shape[3]
+    bh = _band_rows_packed(hp, wp, 16 * (z5.shape[-1] // 2),
+                           jnp.dtype(ct_p.dtype).itemsize)
+    if bh < 2:
+        # bh==1 (prime hp): the bwd kernel's boundary staging keys on
+        # hi==0 / hi==nb-1 and assumes border quad rows live only in the
+        # first/last band. Reference autodiff fallback (pool-tie routing
+        # may differ from the kernel's first-max idx on exact ties).
+        _, vjp = jax.vjp(lambda z: _conv1_2_ref(z, w, b), z5)
+        (dz5,) = vjp(ct_p.astype(pooled.dtype))
+        return dz5, None, None
     return conv1_2_bwd_dz5(ct_p, pooled, idx, w, interpret), None, None
 
 
 conv1_2_packed_pool.defvjp(_c12_fwd, _c12_bwd)
 
 
-def stage1_supported(x) -> bool:
+def stage1_supported(x, dtype=None) -> bool:
     """Shape gate: H, W even and large enough for both kernels' clipped
-    halo windows (nb >= 2 bands and hp >= bh + 2 each)."""
+    halo windows (nb >= 2 bands, bh >= 2 — the backward kernels' boundary
+    staging keys on first/last band — and hp >= bh + 2 each). ``dtype``
+    is the compute dtype the kernels will run in (defaults to x's)."""
     h, wi = x.shape[1], x.shape[2]
     if h % 2 or wi % 2:
         return False
     hp, wp = h // 2, wi // 2
     if wp < 2:
         return False
+    itemsize = jnp.dtype(dtype if dtype is not None else x.dtype).itemsize
     for kin in (48, 1024):                 # conv1_1 / conv1_2 patch widths
-        bh = _band_rows_packed(hp, wp, kin)
-        if hp // bh < 2 or hp - bh - 2 < 0:
+        bh = _band_rows_packed(hp, wp, kin, itemsize)
+        if bh < 2 or hp // bh < 2 or hp - bh - 2 < 0:
             return False
     return True

@@ -192,6 +192,25 @@ def _pallas_conv_ok(x: jnp.ndarray) -> bool:
     return h % 8 == 0 and w % 8 == 0
 
 
+def gram1_closed_form(ptp, s27, w, b, n_pixels):
+    """The algebraic conv1_1 Gram from im2col patch stats (all f32):
+
+        G = Wᵀ PᵀP W + u bᵀ + b uᵀ + N b bᵀ,   u = s27 W
+
+    with PᵀP (B, 27, 27), s27 (B, 27) the per-image patch sums, W the
+    HWIO kernel flattened to (27, 64), b (64,) and N the pixel count.
+    This is THE single home of the parity-critical formula — both the
+    default algebraic gram1 path below and stage1_pallas.fold_gram48
+    (which first folds its 48-wide quad stats down to 27) call it."""
+    w27 = w.reshape(27, -1).astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    u = s27 @ w27                                           # (B, 64)
+    g = jnp.einsum("ko,bkl,lp->bop", w27, ptp, w27)
+    return (g + u[:, :, None] * bf[None, None, :]
+            + bf[None, :, None] * u[:, None, :]
+            + float(n_pixels) * bf[None, :, None] * bf[None, None, :])
+
+
 def _stage1_v2_ok(x: jnp.ndarray, gram1: bool, wanted) -> bool:
     """Gate for the phase-aligned packed stage 1 (st3d.kernels.
     stage1_pallas, env ST3D_STAGE1_V2): needs the gram1 hot-loop mode
@@ -357,14 +376,10 @@ def get_features(
                     preferred_element_type=jnp.float32,
                 )
                 s = jnp.sum(patches.astype(jnp.float32), axis=(1, 2))
-                w27 = model.kernels[conv_i].reshape(27, -1).astype(jnp.float32)
-                bf = model.biases[conv_i].astype(jnp.float32)
-                u = s @ w27                                     # (B, 64)
-                g = jnp.einsum("ko,bkl,lp->bop", w27, ptp, w27)
-                g = (g + u[:, :, None] * bf[None, None, :]
-                     + bf[None, :, None] * u[:, None, :]
-                     + float(h * wd) * bf[None, :, None] * bf[None, None, :])
-                feats["conv1_1:gram"] = g
+                feats["conv1_1:gram"] = gram1_closed_form(
+                    ptp, s, model.kernels[conv_i], model.biases[conv_i],
+                    h * wd,
+                )
         elif (gram1 and conv_i in _fused_gram_convs()
               and name_by_conv.get(conv_i) in wanted
               and conv_i in _pallas_convs() and _pallas_conv_ok(x)):

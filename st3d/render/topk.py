@@ -372,6 +372,14 @@ def rasterize_hard_k(face_verts: jnp.ndarray, settings) -> HardKFragments:
     )
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _saturation_probe(fv, settings):
+    """Module-level jit (settings is a static frozen dataclass): a fresh
+    ``jax.jit(lambda ...)`` per call would miss jit's function-identity
+    cache and recompile the full rasterizer on every saturation check."""
+    return rasterize_hard_k(fv, settings).saturated
+
+
 def check_hard_k_saturation(face_verts: jnp.ndarray, settings,
                             context: str = "render") -> int:
     """Host-side production check of the ``HardKFragments.saturated``
@@ -392,9 +400,7 @@ def check_hard_k_saturation(face_verts: jnp.ndarray, settings,
         return 0
     import warnings
 
-    sat = jax.jit(
-        lambda fv: rasterize_hard_k(fv, settings).saturated
-    )(jax.lax.stop_gradient(face_verts))
+    sat = _saturation_probe(jax.lax.stop_gradient(face_verts), settings)
     total = int(jnp.sum(sat))
     if total:
         warnings.warn(

@@ -109,7 +109,9 @@ def test_multistyle_dp_bad_count(tmp_path):
 def test_multi_style_loss_gram_keys_match_tap_path():
     """A feats dict carrying '<layer>:gram' keys (fused-gram kernels)
     produces the same per-style losses as gramming the taps, including the
-    per-layer divisor heights (conv1_1 full-res, conv2_1 half-res)."""
+    per-layer divisor heights at EVERY style depth — conv3_1/conv4_1/
+    conv5_1 gram keys arrive under ST3D_FUSED_GRAM_DEEP=1 and used to
+    KeyError here (advisor-style round-4 self-review fix)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -134,7 +136,7 @@ def test_multi_style_loss_gram_keys_match_tap_path():
     want = _multi_style_content_loss(feats, cfeat, grams, 1e6, 1.0, size)
 
     feats_g = dict(feats)
-    for l in ("conv1_1", "conv2_1"):
+    for l in STYLE_LAYERS:
         feats_g[l + ":gram"] = jnp.stack([
             gram_matrix_nhwc(feats[l][i]) for i in range(s)
         ])

@@ -269,3 +269,64 @@ def test_stage1_bf16_interpret():
     )[0].astype(jnp.float32)))(x)
     assert g.dtype == jnp.bfloat16
     assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
+
+
+def test_band_rows_packed_itemsize_aware():
+    """VMEM band sizing scales with the compute dtype's byte width
+    (CLAUDE.md: a fixed block that fits the bench shape WILL OOM at other
+    dtypes) — f32 halves the band where the budget binds."""
+    from st3d.kernels.stage1_pallas import _band_rows_packed
+
+    # Bench-like conv1_2 shape: hp=wp=256, kin=16*64=1024.
+    assert _band_rows_packed(256, 256, 1024, 2) == 8       # bf16
+    assert _band_rows_packed(256, 256, 1024, 4) == 4       # f32: half
+    # Where the budget doesn't bind, itemsize changes nothing.
+    assert (_band_rows_packed(16, 12, 1024, 2)
+            == _band_rows_packed(16, 12, 1024, 4))
+    # The result always divides hp (grid invariant).
+    for hp in (10, 24, 256):
+        for item in (2, 4):
+            assert hp % _band_rows_packed(hp, 128, 1024, item) == 0
+
+
+def test_bh1_shapes_gated_and_grads_fall_back():
+    """Prime half-heights force bh == 1, where the backward kernels'
+    first/last-band boundary staging is invalid: stage1_supported must
+    reject the shape, and the custom-VJP entry points must still return
+    correct gradients via the jnp reference fallback."""
+    key = jax.random.PRNGKey(29)
+    x = jax.random.uniform(key, (1, 10, 16, 3), jnp.float32)  # hp=5 prime
+    w1, b1 = _mats(jax.random.fold_in(key, 1), 3, 64, 0.2)
+    w2, b2 = _mats(jax.random.fold_in(key, 2), 64, 64, 0.05)
+    assert not stage1_supported(x)
+
+    # conv1_1: kernel-forward + fallback-backward == reference autodiff.
+    z5r, g48r, s48r = _conv1_1_packed_ref(x, w1, b1)
+    ct_z = jax.random.normal(jax.random.fold_in(key, 3), z5r.shape,
+                             jnp.float32)
+    ct_g = jax.random.normal(jax.random.fold_in(key, 4), g48r.shape,
+                             jnp.float32) * 1e-3
+
+    def via_kernel(xx):
+        z5, g48, _ = conv1_1_packed(xx, w1, b1, True)
+        return jnp.sum(z5 * ct_z) + jnp.sum(g48 * ct_g)
+
+    def via_ref(xx):
+        z5, g48, _ = _conv1_1_packed_ref(xx, w1, b1)
+        return jnp.sum(z5 * ct_z) + jnp.sum(g48 * ct_g)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(via_kernel)(x)),
+        np.asarray(jax.grad(via_ref)(x)), atol=1e-3, rtol=1e-3,
+    )
+
+    # conv1_2: same at the packed-input level.
+    ct_p = jax.random.normal(jax.random.fold_in(key, 5),
+                             (1, 5, 8, 64), jnp.float32)
+    gk = jax.grad(lambda zz: jnp.sum(
+        conv1_2_packed_pool(zz, w2, b2, True)[0] * ct_p))(z5r)
+    gr = jax.grad(lambda zz: jnp.sum(
+        _conv1_2_ref(zz, w2, b2) * ct_p))(z5r)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                               atol=1e-4, rtol=1e-4)
+    assert float(jnp.abs(gk).max()) > 0
