@@ -55,12 +55,16 @@ def main() -> int:
     content_b = jnp.broadcast_to(content[None], (views,) + style.shape)
     init = content_b
 
-    # Warmup/compile: one chunk. block_until_ready: jit dispatch is async —
-    # without it the windows time enqueue, not compute (bench.py discipline).
+    # Warmup/compile at the SAME scan length the timed windows use (the
+    # jitted chunk is specialized on steps — a 25-step warmup would leave
+    # the 100-step compile inside the first timed window). block_until_
+    # ready: jit dispatch is async — without it the windows time enqueue,
+    # not compute (bench.py discipline).
+    chunk = min(args.steps, 100)
     t0 = time.time()
     jax.block_until_ready(
-        style_transfer(init, content_b, style_b, vgg, steps=25, chunk=25,
-                       progress=False, dtype=dtype))
+        style_transfer(init, content_b, style_b, vgg, steps=chunk,
+                       chunk=chunk, progress=False, dtype=dtype))
     compile_s = time.time() - t0
 
     # Timed: three windows, median (run variance discipline, PERF_NOTES).
@@ -69,7 +73,7 @@ def main() -> int:
         t0 = time.time()
         jax.block_until_ready(
             style_transfer(init, content_b, style_b, vgg, steps=args.steps,
-                           chunk=100, progress=False, dtype=dtype))
+                           chunk=chunk, progress=False, dtype=dtype))
         rates.append(args.steps / (time.time() - t0))
     it_s = sorted(rates)[1]
 
