@@ -397,7 +397,21 @@ def main() -> int:
 
         print(f"child: backend={jax.default_backend()} "
               f"devices={jax.devices()}", file=sys.stderr)
-        res = measure("tpu", dtype_name=args.dtype)
+        try:
+            res = measure("tpu", dtype_name=args.dtype)
+        except Exception:
+            # Self-heal a poisoned AOT blob: one that deserializes but
+            # fails at execution would otherwise reproduce identically on
+            # every parent retry. Deleting it makes the next attempt
+            # compile fresh.
+            from st3d.utils.aot import invalidate_last_loaded_blob
+
+            dropped = invalidate_last_loaded_blob()
+            if dropped:
+                print("child: measurement failed after an AOT cache load; "
+                      f"deleted {dropped} so the next attempt recompiles",
+                      file=sys.stderr)
+            raise
         print(json.dumps(res, indent=1), file=sys.stderr)
         with open(args.out, "w") as f:
             json.dump(res, f)

@@ -57,6 +57,27 @@ def _n_exec_devices(compiled) -> "int | None":
         return None
 
 
+_LAST_LOADED_BLOB = None
+
+
+def invalidate_last_loaded_blob() -> "str | None":
+    """Delete the most recently LOADED cache blob and return its path
+    (None if nothing was loaded or it is already gone). For callers whose
+    AOT-loaded executable deserialized fine but failed at EXECUTION time
+    (e.g. libtpu skew the environment key cannot see): deleting the blob
+    makes the caller's next attempt compile fresh instead of reproducing
+    the failure."""
+    global _LAST_LOADED_BLOB
+    path, _LAST_LOADED_BLOB = _LAST_LOADED_BLOB, None
+    if path and os.path.isfile(path):
+        try:
+            os.remove(path)
+            return path
+        except OSError:
+            return None
+    return None
+
+
 def load_or_compile(jitted, example_args, tag: str, verbose: bool = True):
     """Return a compiled executable for ``jitted`` at ``example_args``'
     shapes/dtypes, loading it from the AOT cache when the environment+HLO
@@ -111,6 +132,8 @@ def load_or_compile(jitted, example_args, tag: str, verbose: bool = True):
             if verbose:
                 print(f"aot: loaded {tag} executable from {path} "
                       "(compile skipped)", file=sys.stderr)
+            global _LAST_LOADED_BLOB
+            _LAST_LOADED_BLOB = path
             return compiled, True, meta_path
         except Exception as e:  # stale/incompatible blob: recompile
             if verbose:

@@ -119,3 +119,48 @@ def test_corrupt_blob_falls_back(tmp_path, monkeypatch):
     c, hit, _ = load_or_compile(_fn, (x, y), tag="t", verbose=False)
     assert hit is False                      # fell back to a fresh compile
     assert c(x, y).shape == (16, 4)
+
+
+def test_invalidate_last_loaded_blob(tmp_path, monkeypatch):
+    """After a cache LOAD, invalidate_last_loaded_blob deletes the blob
+    (the poisoned-executable self-heal bench.py's child uses) and is a
+    no-op when nothing was loaded."""
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    # Single-device subprocess: the load path only engages cleanly there
+    # (this host's 8 virtual devices trip the device-count guard).
+    code = textwrap.dedent("""
+        import os, sys; sys.path.insert(0, %r)
+        import jax; jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+        from st3d.utils import aot
+
+        @jax.jit
+        def f(x, y): return jnp.tanh(x @ y) * 2.0
+        x = jnp.ones((16, 8)); y = jnp.ones((8, 4))
+        assert aot.invalidate_last_loaded_blob() is None  # nothing loaded
+        c1, hit1, _ = aot.load_or_compile(f, (x, y), tag="t", verbose=False)
+        blobs = [p for p in os.listdir(%r) if p.endswith(".aot")]
+        if not blobs:
+            print("SKIP: serialization unsupported"); raise SystemExit(0)
+        assert aot.invalidate_last_loaded_blob() is None  # compile, no load
+        c2, hit2, _ = aot.load_or_compile(f, (x, y), tag="t", verbose=False)
+        assert hit2 is True, hit2
+        dropped = aot.invalidate_last_loaded_blob()
+        assert dropped and not os.path.isfile(dropped), dropped
+        assert aot.invalidate_last_loaded_blob() is None  # idempotent
+        c3, hit3, _ = aot.load_or_compile(f, (x, y), tag="t", verbose=False)
+        assert hit3 is False, "blob was deleted; must compile fresh"
+        print("OK")
+    """) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            str(tmp_path))
+    env = dict(os.environ, ST3D_AOT_CACHE=str(tmp_path))
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run([_sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    if "SKIP" in proc.stdout:
+        pytest.skip("executable serialization unsupported on this backend")
+    assert "OK" in proc.stdout
