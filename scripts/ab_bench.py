@@ -29,6 +29,9 @@ VARIANTS = [
     ("packed_bwd_v2", {"ST3D_PACKED_BWD": "v2"}, {}),
     ("stage1_v2", {"ST3D_STAGE1_V2": "1"}, {}),
     ("fused_gram_deep", {"ST3D_FUSED_GRAM_DEEP": "1"}, {}),
+    # Formally-correct frame scatter (no unique_indices promise on the
+    # duplicated pad rows, shading.py) — flip the default if free.
+    ("scatter_nonunique", {"ST3D_SCATTER_NONUNIQUE": "1"}, {}),
 ]
 
 if os.environ.get("ST3D_AB_VARIANTS"):

@@ -51,7 +51,7 @@ from st3d.engine.pipelines import (
     save_render,
 )
 from st3d.io.image import load_as_tensor
-from st3d.io.obj import load_obj, save_mesh
+from st3d.io.obj import save_mesh
 from st3d.models.vgg import get_features, get_vgg
 from st3d.ops.losses import CONTENT_LAYER, STYLE_LAYERS, gram_matrix_nhwc
 from st3d.render.rasterize import (
@@ -113,11 +113,17 @@ def _load_fleet_meshes(cfg: PipelineConfig,
     meshes = []
     for obj in obj_paths:
         sub = dataclasses.replace(cfg, obj_path=obj)
-        if sub.auto_uv == "none":
-            data = load_obj(resolve_asset(obj), load_textures=True)
-            if data.verts_uvs is None or not data.texture_images:
-                sub = dataclasses.replace(sub, auto_uv="sphere")
-        meshes.append(load_scene(sub))
+        try:
+            meshes.append(load_scene(sub))
+        except ValueError:
+            if sub.auto_uv != "none":
+                raise
+            # load_mesh(require_uvs=True)'s no-UVs/texture error: retry
+            # with spherical UV recovery (one extra load for the rare
+            # UV-less mesh beats double-parsing EVERY fleet OBJ to probe).
+            meshes.append(
+                load_scene(dataclasses.replace(sub, auto_uv="sphere"))
+            )
     return meshes
 
 
@@ -156,6 +162,20 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
     verts_uvs = jnp.stack([m.verts_uvs for m in padded])  # (M, T, 2)
     faces_uvs = jnp.stack([m.faces_uvs for m in padded])  # (M, F, 3)
 
+    # The batched fleet step shades via the compact visibility path
+    # (pixel_uvs/shade_compact), which requires hard K=1 rasterization;
+    # soft/blur/multi-K settings cannot be honored here — refuse LOUDLY
+    # instead of silently optimizing a different objective than
+    # run_second_approach would for the same cfg.
+    if cfg.soft_raster or cfg.blur_radius > 0 or cfg.faces_per_pixel > 1:
+        raise ValueError(
+            "fleet_mode=batched requires hard K=1 rasterization "
+            f"(got soft_raster={cfg.soft_raster}, "
+            f"blur_radius={cfg.blur_radius}, "
+            f"faces_per_pixel={cfg.faces_per_pixel}); use the per-style "
+            "multistyle/second-approach drivers for soft or blurred "
+            "rasterization."
+        )
     settings = RasterizationSettings(
         image_size=cfg.size, backend=cfg.raster_backend
     )
@@ -250,9 +270,10 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
                 )
                 for (vis, cfeat, grams) in batch_const
             ]
-            verts, faces = (_pad_axis(a, 0, grid_m) for a in (verts, faces))
-            verts_uvs = _pad_axis(verts_uvs, 0, grid_m)
-            faces_uvs = _pad_axis(faces_uvs, 0, grid_m)
+            # NOTE: the stacked geometry (verts/faces/uvs) is NOT padded or
+            # sharded — it is consumed only by fleet_visibility, which
+            # already ran while building batch_const above; the step itself
+            # reads only textures + the precomputed visibility.
             cell_mask = jnp.zeros((grid_m, grid_s), jnp.float32)
             cell_mask = cell_mask.at[:n_meshes, :n_styles].set(1.0)
 
@@ -288,9 +309,6 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
         mesh_sh = NamedSharding(dev_mesh, P("mesh"))
         grid_sh = NamedSharding(dev_mesh, P("mesh", "style"))
         repl = NamedSharding(dev_mesh, P())
-
-        verts, faces = jax.device_put((verts, faces), mesh_sh)
-        verts_uvs, faces_uvs = jax.device_put((verts_uvs, faces_uvs), mesh_sh)
 
         def _shard_opt(params, opt_state):
             params = jax.device_put(params, grid_sh)

@@ -56,6 +56,7 @@ from st3d.ops.losses import (
 from st3d.render.rasterize import RasterizationSettings
 from st3d.render.renderer import (
     compact_visibility,
+    drop_plan,
     precompute_visibility,
     render_meshes,
     render_meshes_static,
@@ -105,6 +106,18 @@ def _load_style(cfg: PipelineConfig, batch: int) -> jnp.ndarray:
     return jnp.broadcast_to(style[None], (batch,) + style.shape)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _render_for_save(mesh, cameras, settings):
+    return render_meshes(mesh, cameras, settings)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _render_for_save_tiled(mesh, cameras, settings):
+    from st3d.parallel.tiles import render_meshes_tiled
+
+    return render_meshes_tiled(mesh, cameras, settings)
+
+
 def save_render(mesh: Mesh, cameras, settings, path: str,
                 tile_parallel: bool = False) -> None:
     """Render every camera and save view_{i}.png (reference utils.py:81-91).
@@ -116,16 +129,14 @@ def save_render(mesh: Mesh, cameras, settings, path: str,
     os.makedirs(path, exist_ok=True)
     warn_if_hard_k_saturated(mesh, cameras, settings,
                              context=f"save_render({path})")
+    # Module-level jits (settings static): fleet grids call save_render
+    # once per (mesh, style) cell with identical shapes — a fresh
+    # jit(lambda) per call would re-trace the full render program each
+    # time instead of hitting the in-process cache.
     if tile_parallel and len(jax.devices()) > 1:
-        from st3d.parallel.tiles import render_meshes_tiled
-
-        imgs, _ = jax.jit(
-            lambda m, c: render_meshes_tiled(m, c, settings)
-        )(mesh, cameras)
+        imgs, _ = _render_for_save_tiled(mesh, cameras, settings)
     else:
-        imgs, _ = jax.jit(
-            lambda m, c: render_meshes(m, c, settings)
-        )(mesh, cameras)
+        imgs, _ = _render_for_save(mesh, cameras, settings)
     arr = np.asarray(imgs)
     for i in range(arr.shape[0]):
         save_image(arr[i], os.path.join(path, f"view_{i}.png"), async_=True)
@@ -269,7 +280,6 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
         params = replicate(params, dev_mesh)
         opt_state = replicate(opt_state, dev_mesh)
 
-    n_batches = math.ceil(cfg.n_views / cfg.batch_size)
     for i, b0, b1 in _batches(cfg.n_views, cfg.batch_size):
         if i < start_batch:
             continue
@@ -333,10 +343,9 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
         # Chunks never cross a checkpoint_every boundary, so mid-batch
         # checkpoints fire for ANY checkpoint_every value.
         if use_dp:
-            # The sampling plan's permutation spans ALL views jointly and
-            # cannot be view-sharded; the DP path keeps autodiff's scatter.
-            vis_nd = (dict((k, v) for k, v in vis.items() if k != "plan")
-                      if vis is not None else None)
+            # The sampling plan cannot be view-sharded (renderer.drop_plan);
+            # the DP path keeps autodiff's scatter.
+            vis_nd = drop_plan(vis)
             camR_s, camT_s, applied_s, vis_s = shard_views(
                 (batch_cams.R, batch_cams.T, applied, vis_nd), dev_mesh
             )
@@ -516,7 +525,9 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
                     mesh2, p.get("verts", content_mesh.verts),
                     content_mesh.verts, weights,
                 )
-            return loss, cur
+            # Aux frame only when current_images/ saves consume it (the
+            # non-DP step has the same gate).
+            return loss, (cur if cfg.save_intermediate else None)
 
         dp_step = make_view_parallel_step(
             dp_loss_fn, optimizer, dev_mesh, has_aux=True
@@ -543,7 +554,8 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
                 cur_feats = get_features(cur, vgg, dtype=dtype,
                                          layout="NHWC",
                                          input_layout="NHWC", gram1=True)
-                cur = jnp.transpose(cur, (0, 3, 1, 2))  # aux stays NCHW
+                if cfg.save_intermediate:
+                    cur = jnp.transpose(cur, (0, 3, 1, 2))  # aux is NCHW
             else:
                 cur_imgs, cur_masks = render_meshes(mesh, cams_b, settings)
                 cur = apply_background(
@@ -574,7 +586,11 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
                     mesh, p.get("verts", content_mesh.verts),
                     content_mesh.verts, weights,
                 )
-            return loss, cur
+            # The frame aux exists only to feed current_images/ saves;
+            # without them it would be a wasted jit output plus (on the
+            # static NHWC path) the NCHW layout fork the step was
+            # profiled to avoid.
+            return loss, (cur if cfg.save_intermediate else None)
 
         (loss, cur), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
         updates, st = optimizer.update(grads, st, p)
@@ -626,13 +642,12 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
     if use_dp:
         params = replicate(params, dev_mesh)
         opt_state = replicate(opt_state, dev_mesh)
-        # The sampling plan's permutation spans ALL views jointly and cannot
-        # be view-sharded; the DP path keeps autodiff's atlas scatter.
+        # The sampling plan cannot be view-sharded (renderer.drop_plan);
+        # the DP path keeps autodiff's atlas scatter.
         batch_const = [
             tuple(shard_views(x, dev_mesh) for x in (
                 cams_b.R, cams_b.T, style_b, cimg, cmask, targets,
-                (dict((k, v) for k, v in vis.items() if k != "plan")
-                 if vis is not None else None)))
+                drop_plan(vis)))
             for (cams_b, style_b, cimg, cmask, targets, vis) in batch_const
         ]
         # On resume, continue the per-step noise-RNG seed sequence where the
@@ -647,7 +662,7 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
             n = min(50, cfg.epochs - epoch)
             if cfg.checkpoint_every:
                 n = min(n, cfg.checkpoint_every
-                        - (epoch % cfg.checkpoint_every) or n)
+                        - (epoch % cfg.checkpoint_every))
             params, opt_state, rng, losses = epoch_chunk(
                 params, opt_state, rng, cams_b, style_b, cimg, cmask,
                 targets, vis, n,
@@ -670,11 +685,9 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
                     cfg.seed + step_counter * 131071
                     + jnp.arange(cam_R.shape[0]), jnp.uint32
                 )
-                from st3d.parallel.sharding import shard_views as _sv
-
                 params, opt_state, loss, cur = dp_step(
                     params, opt_state, cam_R, cam_T, style_b, cimg, cmask,
-                    targets, vis, _sv(seeds, dev_mesh),
+                    targets, vis, shard_views(seeds, dev_mesh),
                 )
                 step_counter += 1
             else:

@@ -262,6 +262,18 @@ def compact_visibility(vis, texture_shape=None, pad_multiple: int = 512):
     return out
 
 
+def drop_plan(vis):
+    """Strip the sampling plan from compact visibility before VIEW-sharding
+    it: the plan's permutation spans ALL views of a camera batch jointly
+    and MUST NOT be re-sharded along the view axis (a sharded permutation
+    would corrupt texture gradients). Every data-parallel consumer of
+    compact visibility goes through this helper; the DP step then falls
+    back to autodiff's atlas scatter. None passes through."""
+    if vis is None:
+        return None
+    return {k: v for k, v in vis.items() if k != "plan"}
+
+
 def render_rgba_static(
     mesh: Mesh,
     vis,

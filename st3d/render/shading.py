@@ -22,6 +22,7 @@ bilinear sampling with align_corners=True and border padding.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -286,6 +287,15 @@ def shade_compact(
     bg = jnp.asarray(background_color, rgb_cov.dtype)
     vals = jnp.where(cov8[..., None], rgb_cov, bg)
 
+    # compact_visibility pads idx with REPEATED copies of the trash row
+    # h*w//k, so `unique_indices=True` is formally a lie whenever a view
+    # has 2+ pad slots. It is physically benign under any plausible
+    # lowering — every duplicate writes the IDENTICAL bg payload to the
+    # one trash row that flat[:-1] slices off — and the flag is part of
+    # the measured fast scatter path, so the safe variant is an A/B
+    # candidate (ST3D_SCATTER_NONUNIQUE=1) rather than the default.
+    unique = not os.environ.get("ST3D_SCATTER_NONUNIQUE")
+
     def one_view(idx_v, vals_v):
         # Rows are FLAT (k*3,) vectors: a (rows, k, 3) scatter operand gets
         # laid out [rows, 3, 8] with the 8 tiled into 128 lanes — a 16x
@@ -295,7 +305,7 @@ def shade_compact(
         flat = jnp.broadcast_to(jnp.tile(bg, k), (h * w // k + 1, k * 3))
         flat = flat.at[idx_v].set(
             vals_v.reshape(vals_v.shape[0], k * 3),
-            unique_indices=True, indices_are_sorted=True,
+            unique_indices=unique, indices_are_sorted=True,
         )
         return flat[:-1].reshape(h, w, 3)
 

@@ -143,3 +143,15 @@ def test_flagship_grid_padded_dp(tmp_path):
                 np.asarray(r_sd[stem][style].texture),
                 atol=1e-5, err_msg=f"{stem}/{style}",
             )
+
+
+@pytest.mark.skipif(not HAVE, reason="reference assets absent")
+def test_batched_rejects_soft_raster_settings(tmp_path):
+    """The batched fleet step shades via compact visibility (hard K=1
+    only); soft/blur/multi-K configs must raise instead of silently
+    optimizing a different objective than run_second_approach would."""
+    for kw in ({"soft_raster": True}, {"blur_radius": 0.01},
+               {"faces_per_pixel": 2}):
+        cfg = _cfg(tmp_path, "rej", **kw)
+        with pytest.raises(ValueError, match="hard K=1"):
+            run_fleet_batched(cfg, OBJS[:1], STYLES2[:1])
