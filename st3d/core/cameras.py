@@ -211,9 +211,17 @@ def look_at_rotation(camera_position: Array, at, up=((0.0, 1.0, 0.0),)) -> Array
     z_axis = _norm(at - pos)
     x_axis = jnp.cross(up, z_axis)
     # Degenerate when up ~ parallel to the view direction: fall back to a
-    # horizontal x-axis (PyTorch3D warns and substitutes similarly).
+    # horizontal x-axis (PyTorch3D warns and substitutes similarly). The
+    # first fallback axis is itself degenerate when the VIEW runs along
+    # world Z (cross(Z, ±Z) = 0 — e.g. up=(0,0,1), camera on the Z axis),
+    # so a second, orthogonal fallback axis covers that case; the two
+    # cannot both be parallel to z_axis.
     bad = jnp.linalg.norm(x_axis, axis=-1, keepdims=True) < 1e-6
     fallback = jnp.cross(jnp.array([0.0, 0.0, 1.0]), z_axis)
+    bad2 = jnp.linalg.norm(fallback, axis=-1, keepdims=True) < 1e-6
+    fallback = jnp.where(
+        bad2, jnp.cross(jnp.array([0.0, 1.0, 0.0]), z_axis), fallback
+    )
     x_axis = _norm(jnp.where(bad, fallback, x_axis))
     y_axis = _norm(jnp.cross(z_axis, x_axis))
     return jnp.stack([x_axis, y_axis, z_axis], axis=-1)  # columns = axes

@@ -44,7 +44,10 @@ def generate_uvs(mesh: Mesh, mode: str = "sphere",
         faces_uvs = faces.copy()
         # Cut the azimuth seam: faces spanning the u-wraparound get
         # duplicated UV verts shifted by +1 so interpolation never crosses
-        # the atlas.
+        # the atlas, then ALL u values are rescaled back into [0, 1]
+        # (the sampler clamps to the border — clamping the duplicates at
+        # u=1.0 instead would compress each seam face's wrapped span into
+        # a sliver of the atlas edge and starve it of texels).
         extra_uvs = []
         fu = uvs[faces_uvs][:, :, 0]  # (F, 3)
         wrap = (fu.max(1) - fu.min(1)) > 0.5
@@ -52,10 +55,13 @@ def generate_uvs(mesh: Mesh, mode: str = "sphere",
             for k in range(3):
                 if uvs[faces_uvs[fi, k], 0] < 0.5:
                     src = uvs[faces_uvs[fi, k]]
-                    extra_uvs.append([min(src[0] + 1.0, 1.0), src[1]])
+                    extra_uvs.append([src[0] + 1.0, src[1]])
                     faces_uvs[fi, k] = len(uvs) + len(extra_uvs) - 1
         if extra_uvs:
             uvs = np.concatenate([uvs, np.asarray(extra_uvs)], axis=0)
+            umax = uvs[:, 0].max()
+            if umax > 1.0:  # uniform squeeze keeps texel density EVEN
+                uvs[:, 0] /= umax
     elif mode == "face_atlas":
         f = len(faces)
         grid = int(math.ceil(math.sqrt(f)))
@@ -117,7 +123,10 @@ def pad_mesh(mesh: Mesh, num_verts: int, num_faces: int,
         [mesh.faces_uvs, jnp.zeros((num_faces - f, 3), jnp.int32)]
     )
     texture = mesh.texture
-    if texture_size is not None and texture.shape[0] != texture_size:
+    if texture_size is not None and (
+        texture.shape[0] != texture_size or texture.shape[1] != texture_size
+    ):  # check BOTH dims: a non-square map_Kd whose height happens to
+        # match would otherwise skip the resize and break the fleet stack
         import jax.image
 
         texture = jax.image.resize(

@@ -47,11 +47,9 @@ def save_image(tensor, path: str, async_: bool = False) -> None:
     """
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     if path.lower().endswith(".png"):
-        arr = np.asarray(tensor)
-        if arr.ndim == 4:
-            arr = arr[0]
-        rgb8 = (np.clip(np.transpose(arr, (1, 2, 0)), 0.0, 1.0) * 255.0
-                + 0.5).astype(np.uint8)
+        # Single conversion path: async (native) and sync (PIL) writes of
+        # the same tensor must produce identical bytes.
+        rgb8 = np.asarray(tensor_to_image(tensor))
         try:
             from st3d.io.native import write_png
 

@@ -139,23 +139,32 @@ def load_obj(path: str, load_textures: bool = True,
             elif tag == "mtllib" and len(tokens) > 1:
                 mtl_files.append(tokens[1])
             elif tag == "f":
+                # Resolve indices NOW: OBJ negative indices are relative to
+                # the element counts at the face line, not the file's final
+                # counts (multi-object files add vertices after faces; the
+                # native parser does the same, st3d_native.cpp:148-157).
+                nv_f, nt_f, nn_f = len(verts), len(uvs), len(normals)
                 corners = []
                 for vert_tok in tokens[1:]:
                     parts = vert_tok.split("/")
-                    vi = int(parts[0])
-                    ti = int(parts[1]) if len(parts) > 1 and parts[1] else None
-                    ni = int(parts[2]) if len(parts) > 2 and parts[2] else None
+                    vi = _resolve_index(int(parts[0]), nv_f)
+                    ti = (_resolve_index(int(parts[1]), nt_f)
+                          if len(parts) > 1 and parts[1] else None)
+                    ni = (_resolve_index(int(parts[2]), nn_f)
+                          if len(parts) > 2 and parts[2] else None)
                     corners.append((vi, ti, ni))
+                    # Per-CORNER presence, like the native parser: a face
+                    # may carry vt/vn on some corners only.
+                    if ti is not None:
+                        has_vt_faces = True
+                    if ni is not None:
+                        has_vn_faces = True
                 # Fan triangulation: (0, k, k+1) for k in 1..n-2.
                 for k in range(1, len(corners) - 1):
                     for c in (corners[0], corners[k], corners[k + 1]):
                         tri_v.append(c[0])
                         tri_vt.append(c[1])
                         tri_vn.append(c[2])
-                    if corners[0][1] is not None:
-                        has_vt_faces = True
-                    if corners[0][2] is not None:
-                        has_vn_faces = True
 
     verts_np = np.asarray(verts, dtype=np.float32).reshape(-1, 3)
     uvs_np = np.asarray(uvs, dtype=np.float32).reshape(-1, 2) if uvs else None
@@ -163,23 +172,19 @@ def load_obj(path: str, load_textures: bool = True,
         np.asarray(normals, dtype=np.float32).reshape(-1, 3) if normals else None
     )
 
-    nv, nt, nn = len(verts_np), len(uvs) if uvs else 0, len(normals) if normals else 0
-    faces_np = np.asarray(
-        [_resolve_index(i, nv) for i in tri_v], dtype=np.int32
-    ).reshape(-1, 3)
+    # Indices were resolved at their face lines (see the 'f' branch).
+    faces_np = np.asarray(tri_v, dtype=np.int32).reshape(-1, 3)
 
     faces_uvs_np = None
     if has_vt_faces and uvs_np is not None:
         faces_uvs_np = np.asarray(
-            [_resolve_index(i, nt) if i is not None else 0 for i in tri_vt],
-            dtype=np.int32,
+            [i if i is not None else 0 for i in tri_vt], dtype=np.int32,
         ).reshape(-1, 3)
 
     faces_normals_np = None
     if has_vn_faces and normals_np is not None:
         faces_normals_np = np.asarray(
-            [_resolve_index(i, nn) if i is not None else 0 for i in tri_vn],
-            dtype=np.int32,
+            [i if i is not None else 0 for i in tri_vn], dtype=np.int32,
         ).reshape(-1, 3)
 
     texture_images: Dict[str, np.ndarray] = {}

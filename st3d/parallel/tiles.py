@@ -52,6 +52,18 @@ def render_rgba_tiled(
     single-device renderer (shard_map transpose sums the per-band partial
     gradients of the replicated inputs over ICI).
     """
+    # The tiled epilogue shades hard K=1 (shade_textured on pix_to_face);
+    # soft/blur/multi-K settings would silently render a DIFFERENT image
+    # than the single-device renderer this path claims bit-identity with.
+    if settings.soft or settings.blur_radius > 0 or \
+            settings.faces_per_pixel > 1:
+        raise ValueError(
+            "tile-parallel rendering requires hard K=1 rasterization "
+            f"(got soft={settings.soft}, blur_radius="
+            f"{settings.blur_radius}, faces_per_pixel="
+            f"{settings.faces_per_pixel}); render without --tile_parallel "
+            "for soft or blurred rasterization"
+        )
     n_dev = tile_mesh.devices.size
     h = settings.image_size
     if h % n_dev:

@@ -301,7 +301,14 @@ def rasterize(
 ) -> Fragments:
     """Rasterize one view (F, 3, 3) with the configured backend."""
     frags = rasterize_batch(face_verts[None], settings)
-    return Fragments(pix_to_face=frags.pix_to_face[0], zbuf=frags.zbuf[0])
+    return Fragments(
+        pix_to_face=frags.pix_to_face[0],
+        zbuf=frags.zbuf[0],
+        # Soft mode's extra plane must survive the unbatching — dropping
+        # it would crash (or silently de-gradient) shade_soft callers.
+        nearest_face=(frags.nearest_face[0]
+                      if frags.nearest_face is not None else None),
+    )
 
 
 def rasterize_batch(
@@ -333,6 +340,17 @@ def rasterize_batch(
         # the pixel. Full K-deep output (zbuf/bary/dists) via
         # st3d.render.topk.rasterize_hard_k; this entry keeps the
         # Fragments contract by taking the nearest slot.
+        if image_height is not None and image_height != settings.image_size:
+            # The hard-K machinery rasterizes full frames only; silently
+            # ignoring the band height would hand a tiled caller (N, H, W)
+            # frames where it expects (N, rows, W) — shard_map would then
+            # CONCATENATE the full frames into corrupt output with no
+            # error anywhere downstream.
+            raise NotImplementedError(
+                "banded rasterization (image_height="
+                f"{image_height}) is not supported with blur_radius > 0 "
+                "or faces_per_pixel > 1"
+            )
         from st3d.render.topk import rasterize_hard_k
 
         hk = rasterize_hard_k(face_verts, settings)

@@ -67,6 +67,13 @@ def load_checkpoint(path: str, params_template, opt_state_template,
                     f"{np.shape(leaf)} (different optimization_target, "
                     "size, or mesh?)"
                 )
+            want_dtype = np.asarray(leaf).dtype
+            if arr.dtype != want_dtype:
+                raise ValueError(
+                    f"checkpoint leaf {key} has dtype {arr.dtype}, expected "
+                    f"{want_dtype} (different compute_dtype?) — a silent "
+                    "cast would resume with different numerics"
+                )
             out.append(arr)
         return jax.tree_util.tree_unflatten(treedef, out)
 

@@ -105,3 +105,16 @@ def test_camera_indexing():
     one = cams[2]
     assert len(one) == 1
     np.testing.assert_allclose(one.R[0], cams.R[2])
+
+
+def test_look_at_degenerate_up_along_z():
+    """up parallel to a Z-axis view direction: the first fallback axis
+    cross(Z, z_axis) is itself zero — the second fallback must still
+    produce an orthonormal frame instead of zero columns."""
+    from st3d.core.cameras import look_at_rotation
+
+    R = np.asarray(look_at_rotation(
+        ((0.0, 0.0, 5.0),), ((0.0, 0.0, 0.0),), ((0.0, 0.0, 1.0),)
+    ))[0]
+    # Orthonormal: R^T R == I (zero x/y columns would fail this hard).
+    np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-5)

@@ -127,3 +127,36 @@ def test_topology_nonmanifold_all_pairs():
     assert nc.shape[0] == 3
     opps = sorted(tuple(sorted(r)) for r in nc[:, 2:].tolist())
     assert opps == [(2, 3), (2, 4), (3, 4)]
+
+
+def test_negative_indices_resolve_at_face_line(tmp_path):
+    """OBJ negative indices are relative to the counts AT the face line,
+    not the file's final counts (multi-object files append vertices after
+    earlier objects' faces); native and Python parsers must agree."""
+    p = tmp_path / "multi.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "f -3 -2 -1\n"            # -> verts 0,1,2 (counts at THIS line)
+        "v 5 5 5\nv 6 5 5\nv 5 6 5\n"
+        "f -3 -2 -1\n"            # -> verts 3,4,5
+    )
+    d = load_obj(str(p), use_native=False)
+    assert d.faces.tolist() == [[0, 1, 2], [3, 4, 5]]
+    from st3d.io.native import get_lib, parse_obj_native
+    if get_lib() is not None:
+        nat = parse_obj_native(str(p))
+        np.testing.assert_array_equal(nat["faces"], d.faces)
+
+
+def test_partial_corner_vt_detected(tmp_path):
+    """has_vt must be set when ANY corner carries a vt (per-corner check,
+    matching the native parser) — corner 0 without one used to drop the
+    whole faces_uvs array."""
+    p = tmp_path / "pvt.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nvt 0 0\nvt 1 0\n"
+        "f 1 2/1 3/2\n"
+    )
+    d = load_obj(str(p), use_native=False)
+    assert d.faces_uvs is not None
+    assert d.faces_uvs.tolist() == [[0, 0, 1]]

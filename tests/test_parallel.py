@@ -175,3 +175,43 @@ def test_pick_tile_count():
     assert pick_tile_count(1024, 8) == 8
     assert pick_tile_count(100, 8) == 5   # largest divisor <= 8
     assert pick_tile_count(64, 1) == 1
+
+
+def test_tiled_render_rejects_soft_settings():
+    """The tiled epilogue shades hard K=1 only; soft/blur/multi-K configs
+    must raise instead of silently rendering a different image than the
+    single-device renderer (the docstring promises bit-identity)."""
+    import pytest as _pytest
+
+    from st3d.core.primitives import ico_sphere
+    from st3d.core.cameras import FoVPerspectiveCameras, look_at_view_transform
+    from st3d.render.rasterize import RasterizationSettings
+    from st3d.parallel.tiles import render_meshes_tiled
+
+    mesh = ico_sphere(1, texture_size=8)
+    R, T = look_at_view_transform(dist=3.0, elev=0.0, azim=0.0)
+    cams = FoVPerspectiveCameras.create(R=R, T=T)
+    for kw in ({"soft": True}, {"blur_radius": 0.01},
+               {"faces_per_pixel": 2}):
+        st = RasterizationSettings(image_size=16, backend="xla", **kw)
+        with _pytest.raises(ValueError, match="hard K=1"):
+            render_meshes_tiled(mesh, cams, st)
+
+
+def test_single_view_rasterize_keeps_nearest_face():
+    """rasterize() (the public single-view API) must carry soft mode's
+    nearest_face plane through the unbatching — shade_soft callers need
+    it for silhouette gradients."""
+    import jax.numpy as jnp
+
+    from st3d.render.rasterize import RasterizationSettings, rasterize
+
+    fv = jnp.asarray([[[-0.5, -0.5, 0.5], [0.5, -0.5, 0.5],
+                       [0.0, 0.5, 0.5]]], jnp.float32)
+    frags = rasterize(fv, RasterizationSettings(image_size=8, soft=True,
+                                                backend="xla"))
+    assert frags.nearest_face is not None
+    assert frags.nearest_face.shape == (8, 8)
+    frags_hard = rasterize(fv, RasterizationSettings(image_size=8,
+                                                     backend="xla"))
+    assert frags_hard.nearest_face is None
