@@ -316,7 +316,11 @@ def _conv1_1_kernel(x_ref, w_ref, b_ref, o_ref, g_ref, s_ref,
     o_ref[0, :, 0, :, :] = y[:, :, :n // 2]
     o_ref[0, :, 1, :, :] = y[:, :, n // 2:]
     gp = jnp.dot(p.T, p, preferred_element_type=jnp.float32)
-    sp = jnp.sum(p.astype(jnp.float32), axis=0)
+    # s output rides a (1, 1, 48) block: Mosaic requires the last two
+    # block dims to be (8,128)-divisible or equal to the array's — a 2D
+    # (B, 48) array with block (1, 48) violates the sublane rule on TPU
+    # (block row 1 != B), so the stats carry a singleton middle axis.
+    sp = jnp.sum(p.astype(jnp.float32), axis=0).reshape(1, -1)
 
     @pl.when(hi == 0)
     def _init():
@@ -514,7 +518,8 @@ def conv1_1_bwd_dx(dz5, z5, x, w, dg48, ds48, interpret=False):
             pl.BlockSpec(wt.shape, lambda bi, hi: (0, 0)),
             pl.BlockSpec((1, 16 * cin, 16 * cin),
                          lambda bi, hi: (bi, 0, 0)),
-            pl.BlockSpec((1, 16 * cin), lambda bi, hi: (bi, 0)),
+            # singleton middle axis: see _conv1_1_kernel's s output block
+            pl.BlockSpec((1, 1, 16 * cin), lambda bi, hi: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, bh, 2, wp, 2 * cin), lambda bi, hi: (bi, hi, 0, 0, 0)
@@ -526,7 +531,7 @@ def conv1_1_bwd_dx(dz5, z5, x, w, dg48, ds48, interpret=False):
             pltpu.VMEM((bh + 4, wp + 2, 16 * cin), dz5.dtype),
         ],
         interpret=interpret,
-    )(dz5, z5, x5, wt, sym, ds48.astype(jnp.float32).reshape(bsz, -1))
+    )(dz5, z5, x5, wt, sym, ds48.astype(jnp.float32).reshape(bsz, 1, -1))
     return unpack_output5(dx5).astype(x.dtype)
 
 
@@ -581,18 +586,19 @@ def conv1_1_packed(x, w, b, interpret=False):
         pl.BlockSpec((1, bh, 2, wp, 2 * cout),
                      lambda bi, hi: (bi, hi, 0, 0, 0)),
         pl.BlockSpec((1, 16 * cin, 16 * cin), lambda bi, hi: (bi, 0, 0)),
-        pl.BlockSpec((1, 16 * cin), lambda bi, hi: (bi, 0)),
+        pl.BlockSpec((1, 1, 16 * cin), lambda bi, hi: (bi, 0, 0)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((bsz, hp, 2, wp, 2 * cout), x.dtype),
         jax.ShapeDtypeStruct((bsz, 16 * cin, 16 * cin), jnp.float32),
-        jax.ShapeDtypeStruct((bsz, 16 * cin), jnp.float32),
+        jax.ShapeDtypeStruct((bsz, 1, 16 * cin), jnp.float32),
     ]
     scratch = [pltpu.VMEM((bh, wp, 16 * cin), x.dtype)]
-    return _packed_call(
+    z5, g48, s48 = _packed_call(
         x5, wq, bq, _conv1_1_kernel, out_specs, out_shape, scratch,
         interpret,
     )
+    return z5, g48, s48.reshape(bsz, 16 * cin)
 
 
 def _c11_fwd(x, w, b, interpret):
