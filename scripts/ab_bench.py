@@ -64,6 +64,7 @@ def main() -> int:
         bench.SIZE = int(os.environ["ST3D_AB_SIZE"])
 
     built = []
+    failed = {}
     for name, env, kwargs in VARIANTS:
         saved = {}
         for k, v in env.items():
@@ -75,6 +76,20 @@ def main() -> int:
             params, opt_state, losses = steps(params, opt_state)
             losses.block_until_ready()
             print(f"[compile] {name}: {time.time()-t0:.1f}s", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — one broken variant must not
+            # kill the whole interleaved batch (a stage1 lowering bug cost a
+            # full TPU window this way); record and keep going. NOTE: a
+            # mid-LOWERING failure can poison jax's cached_primitive_lowerings
+            # for sub-jaxprs shared with later variants (seen: KeyError
+            # 'closed_call' on the variant after a Pallas block-shape error),
+            # so clear compile caches before the next build.
+            import traceback
+            traceback.print_exc()
+            print(f"[compile-FAILED] {name}: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            failed[name] = f"{type(e).__name__}: {e}"
+            jax.clear_caches()
+            continue
         finally:
             for k, v in saved.items():
                 if v is None:
@@ -106,8 +121,10 @@ def main() -> int:
             "median_iters_per_sec": round(med, 3),
             "windows": [round(x, 3) for x in v["windows"]],
         }
+    for name, err in failed.items():
+        out[name] = {"error": err}
     print(json.dumps(out, indent=1))
-    return 0
+    return 1 if failed and not built else 0
 
 
 if __name__ == "__main__":
