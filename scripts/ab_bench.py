@@ -27,7 +27,8 @@ sys.path.insert(0, REPO)
 VARIANTS = [
     ("default", {}, {}),
     ("packed_bwd_v2", {"ST3D_PACKED_BWD": "v2"}, {}),
-    ("stage1_v2", {"ST3D_STAGE1_V2": "1"}, {}),
+    ("no_stage1", {"ST3D_NO_STAGE1_V2": "1"}, {}),
+    ("no_tree", {"ST3D_NO_PLAN_TREE": "1"}, {}),
     ("fused_gram_deep", {"ST3D_FUSED_GRAM_DEEP": "1"}, {}),
     # Formally-correct frame scatter (no unique_indices promise on the
     # duplicated pad rows, shading.py) — flip the default if free.

@@ -387,9 +387,17 @@ def main() -> int:
     # --- 7. phase-aligned packed stage 1 (stage1_pallas) ----------------
     # conv1_1_packed -> conv1_2_packed_pool on-device vs the XLA chain:
     # fwd pooled values (loose bf16 tol), the folded conv1_1 Gram, and the
-    # full-chain input gradient (frac-moved bound — pool ties may re-route
-    # under different accumulation orders, as in check 6).
+    # full-chain input gradient in F32 vs autodiff of the jnp reference.
+    # The gradient check MUST be f32 + same-math: comparing bf16 chains
+    # with different forwards (kernel vs XLA conv) flips ~1% of relu
+    # masks / pool argmaxes at bf16 rounding boundaries, and every dx
+    # entry sums 576 mask-gated terms — measured frac-moved 0.72 between
+    # two CORRECT bf16 implementations (round 4). In f32 the boundary
+    # measure collapses: same chains measure 2e-4 (flips need the
+    # pre-activation within f32 reassociation noise of 0).
     from st3d.kernels.stage1_pallas import (
+        _conv1_1_packed_ref,
+        _conv1_2_ref,
         conv1_1_packed,
         conv1_2_packed_pool,
         fold_gram48,
@@ -436,21 +444,26 @@ def main() -> int:
         p_s1.astype(jnp.float32) - p_ref.astype(jnp.float32))))
     d_g = float(jnp.max(jnp.abs(g_s1 - g_ref))
                 / max(float(jnp.max(jnp.abs(g_ref))), 1e-9))
-    wgt = jax.random.normal(jax.random.fold_in(key, 5), p_ref.shape, dtype)
-    g_k = jax.jit(jax.grad(lambda xx: jnp.sum((conv1_2_packed_pool(
-        conv1_1_packed(xx, w1, b1)[0], w2, b2
-    )[0] * wgt).astype(jnp.float32))))(xc)
-    g_u = jax.jit(jax.grad(lambda xx: jnp.sum((_pallas_unfused(
-        jnp.maximum(_xla_conv11(xx), 0.0), w2, b2
-    ) * wgt).astype(jnp.float32))))(xc)
-    dabs = jnp.abs(g_k.astype(jnp.float32) - g_u.astype(jnp.float32))
-    frac_moved = float(jnp.mean((dabs > 1e-2).astype(jnp.float32)))
+    xf = xc.astype(jnp.float32)
+    w1f, b1f = w1.astype(jnp.float32), b1.astype(jnp.float32)
+    w2f, b2f = w2.astype(jnp.float32), b2.astype(jnp.float32)
+    wgt = jax.random.normal(jax.random.fold_in(key, 5), p_ref.shape,
+                            jnp.float32)
+    g_k = jax.jit(jax.grad(lambda xx: jnp.sum(conv1_2_packed_pool(
+        conv1_1_packed(xx, w1f, b1f)[0], w2f, b2f
+    )[0] * wgt)))(xf)
+    g_r = jax.jit(jax.grad(lambda xx: jnp.sum(_conv1_2_ref(
+        _conv1_1_packed_ref(xx, w1f, b1f)[0], w2f, b2f
+    ) * wgt)))(xf)
+    dabs = jnp.abs(g_k - g_r)
+    gscale = max(float(jnp.max(jnp.abs(g_r))), 1e-9)
+    frac_moved = float(jnp.mean((dabs > 1e-4 * gscale).astype(jnp.float32)))
     record(
         "stage1_packed_512",
         d_y1 <= 0.25 and d_p <= 0.5 and d_g <= 0.02 and frac_moved <= 1e-3,
         f"conv1_1 max|d|={d_y1:.3g} pooled max|d|={d_p:.3g} "
-        f"gram rel|d|={d_g:.3g} bwd frac moved={frac_moved:.2e} "
-        f"(compile+run {time.time() - t0:.0f}s)",
+        f"gram rel|d|={d_g:.3g} f32 bwd frac moved (>1e-4*scale)="
+        f"{frac_moved:.2e} (compile+run {time.time() - t0:.0f}s)",
     )
 
     # --- 8. fused conv+Gram at the DEEP style-tap shapes ----------------

@@ -195,13 +195,19 @@ _S27 = None
 def fold_gram48(g48, s48, w, b, n_pixels):
     """conv1_1 Gram from quad-patch stats: PtP = sum_i S_i G48 S_i^T and
     s27 = sum_i S_i s48, then vgg's gram1 closed form (the single home
-    of the parity-critical formula — vgg.gram1_closed_form)."""
+    of the parity-critical formula — vgg.gram1_closed_form).
+
+    Only the NUMPY selection matrices are cached in the module global:
+    ``jnp.asarray`` inside a traced function yields a tracer-backed
+    constant, and caching THAT leaks it into later traces
+    (UnexpectedTracerError in any process that traces fold_gram48 twice —
+    seen in ab_bench round 4)."""
     from st3d.models.vgg import gram1_closed_form
 
     global _S27
     if _S27 is None:
-        _S27 = jnp.asarray(_selection_matrices(3))
-    s = _S27                                            # (4, 27, 48)
+        _S27 = _selection_matrices(3)
+    s = jnp.asarray(_S27)                               # (4, 27, 48)
     ptp = jnp.einsum("ikl,blm,inm->bkn", s, g48.astype(jnp.float32), s)
     s27 = jnp.einsum("ikl,bl->bk", s, s48.astype(jnp.float32))
     return gram1_closed_form(ptp, s27, w, b, n_pixels)
@@ -296,6 +302,43 @@ def _stage_patches(x_ref, patch_ref, *, n_rows, wp, cin, hi, nb, shift):
         else:
             store_cols(x_ref[0, pl.ds(off, n_rows), py, :, :],
                        rp, 0, n_rows)
+
+
+def _band_rows_c11_bwd(hp: int, wp: int, itemsize: int = 2) -> int:
+    """conv1_1 bwd band rows. Unlike the fwd (where the 16*cin=48-wide
+    patch scratch dominates and _band_rows_packed's budget is the right
+    model), this kernel's VMEM is dominated by the (bh+2)-HALO-row
+    buffers: the 128-channel dz5/z5 blocks (double-buffered) and the f32
+    patch/dp48/route temps — so the budget rides (bh+2)*wp. On-device
+    anchors (v5e, 16M scoped limit): bf16 FITS (wp=256, bh=8 → 2560
+    units; the bench config) and (wp=384, bh=4 → 2304) but OOMs at
+    (wp=384, bh=8 → 3840, 17.09M — the round-4 768² BENCH failure) and
+    (wp=512, bh=4 → 3072 — the 1024² ladder check); f32 FITS (wp=256,
+    bh=2 → 1024) but OOMs at bh=4 (16.44M) and bh=8 (22.80M). Keeps
+    bh | hp; callers fall back to the jnp reference backward below 2."""
+    limit = 2560 if itemsize == 2 else 1024
+    bh = max(1, min(hp // 2, 8))
+    while bh > 1 and (bh + 2) * wp > limit:
+        bh -= 1
+    while hp % bh:
+        bh -= 1
+    return bh
+
+
+def _band_rows_c12_bwd(hp: int, wp: int, itemsize: int = 2) -> int:
+    """conv1_2 bwd band rows: the (bh+4, wp+2, 1024)-wide dP scratch
+    dominates, so the budget is on (bh+4)*(wp+2) directly. Limits anchor
+    on on-device proven points: bf16 fits (wp=256, bh=8) and (wp=384,
+    bh=4) but OOMs at (wp=512, bh=4) — 1024² ladder check; f32 fits
+    (wp=256, bh=4). Returns bh | hp (callers fall back to the jnp
+    reference backward below bh=2)."""
+    limit = 3096 if itemsize == 2 else 2064
+    bh = max(1, min(hp // 2, 8))
+    while bh > 1 and (bh + 4) * (wp + 2) > limit:
+        bh -= 1
+    while hp % bh:
+        bh -= 1
+    return bh
 
 
 def _band_shift(hi, nb):
@@ -488,7 +531,7 @@ def conv1_1_bwd_dx(dz5, z5, x, w, dg48, ds48, interpret=False):
     )
     wt = wq.T                                    # (4cout, 16cin)
     sym = (dg48 + jnp.swapaxes(dg48, -1, -2)).astype(jnp.float32)
-    bh = _band_rows_packed(hp, wp, 16 * cin, dz5.dtype.itemsize)
+    bh = _band_rows_c11_bwd(hp, wp, dz5.dtype.itemsize)
     assert bh >= 2 and hp - bh - 4 >= 0, (hp, bh)  # caller gates (see _c11_bwd)
     nb = hp // bh
     x5 = pack_input5(x.astype(dz5.dtype))
@@ -610,8 +653,7 @@ def _c11_bwd(interpret, res, cts):
     x, z5, w, b = res
     dz5, dg48, ds48 = cts
     hp, wp = x.shape[1] // 2, x.shape[2] // 2
-    bh = _band_rows_packed(hp, wp, 16 * x.shape[3],
-                           jnp.dtype(z5.dtype).itemsize)
+    bh = _band_rows_c11_bwd(hp, wp, jnp.dtype(z5.dtype).itemsize)
     if bh >= 2 and hp - bh - 4 >= 0:
         dx = conv1_1_bwd_dx(dz5.astype(z5.dtype), z5, x, w, dg48, ds48,
                             interpret)
@@ -661,7 +703,7 @@ def conv1_2_bwd_dz5(ct_p, pooled, idx, w, interpret=False):
     wq, _ = pack_weights_phase(w.astype(ct_p.dtype),
                                jnp.zeros((cout,), ct_p.dtype))
     wt = wq.T                                     # (4cout, 16cin)
-    bh = _band_rows_packed(hp, wp, 16 * cin, ct_p.dtype.itemsize)
+    bh = _band_rows_c12_bwd(hp, wp, ct_p.dtype.itemsize)
     assert bh >= 2, (hp, bh)          # caller gates (see _c12_bwd)
     nb = hp // bh
     kern = functools.partial(_conv1_2_bwd_kernel, bh=bh, wp=wp, cout=cout,
@@ -698,8 +740,7 @@ def _c12_bwd(interpret, res, cts):
     ct_p, _ = cts                        # idx is non-differentiable
     pooled, idx, w, z5, b = res
     hp, wp = z5.shape[1], z5.shape[3]
-    bh = _band_rows_packed(hp, wp, 16 * (z5.shape[-1] // 2),
-                           jnp.dtype(ct_p.dtype).itemsize)
+    bh = _band_rows_c12_bwd(hp, wp, jnp.dtype(ct_p.dtype).itemsize)
     if bh < 2:
         # bh==1 (prime hp): the bwd kernel's boundary staging keys on
         # hi==0 / hi==nb-1 and assumes border quad rows live only in the

@@ -213,10 +213,14 @@ def gram1_closed_form(ptp, s27, w, b, n_pixels):
 
 def _stage1_v2_ok(x: jnp.ndarray, gram1: bool, wanted) -> bool:
     """Gate for the phase-aligned packed stage 1 (st3d.kernels.
-    stage1_pallas, env ST3D_STAGE1_V2): needs the gram1 hot-loop mode
-    (the conv1_1 tap is replaced by its Gram — the fused path never
-    materializes the tap) plus the usual TPU/shape gates."""
-    if not os.environ.get("ST3D_STAGE1_V2"):
+    stage1_pallas): needs the gram1 hot-loop mode (the conv1_1 tap is
+    replaced by its Gram — the fused path never materializes the tap)
+    plus the usual TPU/shape gates. ON by default since round 4
+    (ab_bench: 44.0 vs 35.7 it/s at 512² bf16, +23%; f32 512² full-chain
+    grad == reference autodiff to boundary-flip measure ~2e-4);
+    ``ST3D_NO_STAGE1_V2=1`` reverts to the round-3 packed conv1_2 path
+    (``ST3D_STAGE1_V2`` is accepted as a no-op for A/B script compat)."""
+    if os.environ.get("ST3D_NO_STAGE1_V2"):
         return False
     if not (gram1 and "conv1_1" in wanted):
         return False

@@ -259,7 +259,79 @@ def compact_visibility(vis, texture_shape=None, pad_multiple: int = 512):
             "perm": jnp.asarray(perm.reshape(outer + (n4,))),
             "segids": jnp.asarray(segids.reshape(outer + (n4,))),
         }
+        if not outer:
+            tree = _build_plan_tree(tflat[0], np.asarray(cov8).reshape(-1),
+                                    n4)
+            if tree is not None:
+                out["plan"]["tree"] = tree
     return out
+
+
+def _build_plan_tree(tix_flat, cov_flat, n_rows):
+    """Host-side scatter-free reduction tree for the sampling plan's
+    texture gradient (consumed by shading._planned_bwd; see its docstring
+    for the why — XLA's segment-sum scatter degrades superlinearly with
+    size, 12.9ms/step at 768² vs 1.48ms at 512²).
+
+    Only rows with structurally NONZERO cotangents participate (cov8 —
+    uncovered pixels inside covered windows and pad windows contribute
+    exact zeros; dropping them also removes the one giant uv=(0,0) trash
+    segment, measured 52K rows at 768² where the real max degree is ~40).
+    Rows are sorted by target texel; each texel's run is padded so it
+    splits into whole degree-4 groups; each level gathers groups from the
+    previous level (pad slot = the appended zero row) and a texel finishes
+    at the level where one group holds its whole run (p50 degree 2 →
+    3 levels cover the measured max). Returns None for empty coverage or
+    when the tree exceeds the level cap (degenerate UV mappings — the
+    segment-sum fallback handles those).
+    """
+    import numpy as np
+
+    keep = np.nonzero(cov_flat)[0]
+    if len(keep) == 0:
+        return None
+    seg_k = tix_flat[keep]
+    order = np.argsort(seg_k, kind="stable")
+    src = keep[order].astype(np.int64)        # rows into the ctq source
+    uniq, counts = np.unique(seg_k[order], return_counts=True)
+
+    levels = []
+    out_level = np.zeros(len(uniq), np.int64)
+    out_node = np.zeros(len(uniq), np.int64)
+    seg_rank = np.arange(len(uniq))           # current segment -> uniq rank
+    cur_counts = counts
+    src_len = n_rows                          # pad slot (appended zero row)
+    level_sizes = []
+    for level in range(10):
+        cur_starts = np.concatenate([[0], np.cumsum(cur_counts)])
+        g_counts = -(-cur_counts // 4)
+        g_starts = np.concatenate([[0], np.cumsum(g_counts)])
+        g_total = int(g_counts.sum())
+        gidx = np.full(g_total * 4, src_len, np.int64)
+        seg_rep = np.repeat(np.arange(len(cur_counts)), cur_counts)
+        off = np.arange(len(src)) - cur_starts[:-1][seg_rep]
+        gidx[4 * g_starts[:-1][seg_rep] + off] = src
+        levels.append(jnp.asarray(gidx.astype(np.int32)))
+        level_sizes.append(g_total)
+        done = g_counts == 1
+        out_level[seg_rank[done]] = level
+        out_node[seg_rank[done]] = g_starts[:-1][done]
+        if bool(done.all()):
+            break
+        group_seg = np.repeat(np.arange(len(cur_counts)), g_counts)
+        src = np.nonzero(~done[group_seg])[0].astype(np.int64)
+        cur_counts = g_counts[~done]
+        seg_rank = seg_rank[~done]
+        src_len = g_total
+    else:
+        return None                           # level cap hit: fall back
+    level_off = np.concatenate([[0], np.cumsum(level_sizes)])
+    return {
+        "levels": tuple(levels),
+        "out_idx": jnp.asarray(
+            (level_off[out_level] + out_node).astype(np.int32)),
+        "texels": jnp.asarray(uniq.astype(np.int32)),
+    }
 
 
 def drop_plan(vis):

@@ -146,7 +146,7 @@ def sample_texture(
 
 
 @jax.custom_vjp
-def sample_covered_planned(texture, idx, fx, fy, perm, segids):
+def sample_covered_planned(texture, idx, fx, fy, perm, segids, tree=None):
     """``sample_texture`` on a STATIC sampling plan (texture-only hot loops).
 
     idx/fx/fy are the per-covered-pixel coordinates from ``sample_coords``
@@ -155,45 +155,81 @@ def sample_covered_planned(texture, idx, fx, fy, perm, segids):
     and segids the sorted texel ids. Forward is identical math to
     ``sample_texture``. The custom backward replaces XLA's random-order
     atlas scatter-add (the single most expensive op of the step at 512**2 —
-    ~5ms, profiler-measured) with gather-by-perm + a SORTED segment-sum +
-    dense shifted adds: the exact transpose of the same linear map, just
-    evaluated in texel order. This is the one custom VJP in the tree; it is
-    equality-tested against the autodiff gradient
+    ~5ms, profiler-measured) with the exact transpose of the same linear
+    map, evaluated in texel order. This is the one custom VJP in the tree;
+    it is equality-tested against the autodiff gradient
     (tests/test_static_visibility.py).
+
+    Two backward evaluation plans (both host-built, same additions):
+
+    - ``tree`` (default when present): a SCATTER-FREE multi-level padded
+      reduction. XLA's segment-sum lowers to a scatter-add whose layout /
+      strategy degrades superlinearly with size (profiler: 1.48ms at 512²
+      but 12.9ms at 768² for 2.2x the rows — the round-4 MFU cliff at the
+      reference's default size). The tree instead gathers the covered
+      contributions sorted by texel and padded so every texel's run is a
+      whole number of degree-4 groups, then reshape+sums groups level by
+      level (p50 degree = 2, so ~3 levels cover the measured max ~40);
+      the per-texel results land with ONE sorted-unique scatter-set of
+      ~n_covered_texels rows (the cheap scatter kind — same class as the
+      frame scatter). Rows whose cotangent is structurally zero (cov8
+      false / pad windows) are dropped at plan-build time.
+    - ``perm``/``segids`` (fallback + ``ST3D_NO_PLAN_TREE=1``): gather by
+      perm + sorted segment-sum.
     """
     ht, wt = texture.shape[0], texture.shape[1]
     return _bilerp_rows(_quad_pack(texture)[idx], fx, fy)
 
 
-def _planned_fwd(texture, idx, fx, fy, perm, segids):
-    out = sample_covered_planned(texture, idx, fx, fy, perm, segids)
-    return out, (texture.shape[0], texture.shape[1], fx, fy, perm, segids)
+def _planned_fwd(texture, idx, fx, fy, perm, segids, tree=None):
+    out = sample_covered_planned(texture, idx, fx, fy, perm, segids, tree)
+    return out, (texture.shape[0], texture.shape[1], fx, fy, perm, segids,
+                 tree)
 
 
 def _planned_bwd(res, ct):
-    ht, wt, fx, fy, perm, segids = res
+    ht, wt, fx, fy, perm, segids, tree = res
     w00 = (1 - fx) * (1 - fy)
     w01 = fx * (1 - fy)
     w10 = (1 - fx) * fy
     w11 = fx * fy
-    # Quad-packed cotangent rows, reordered into texel order (static perm),
-    # then reduced with a sorted segment-sum. Column k of the (Ht*Wt, 12)
+    # Quad-packed cotangent rows: column k of the reduced (Ht*Wt, 12)
     # result holds the contributions whose target texel is the k-th corner
     # of the quad anchored at the row's texel — fold them with dense
     # shifted adds (the transpose of _quad_pack's shifted concats).
     ctq = jnp.concatenate(
         [ct * w00[..., None], ct * w01[..., None],
          ct * w10[..., None], ct * w11[..., None]], axis=-1)
-    flat = ctq.reshape((-1, 12))[perm]
-    sums = jax.ops.segment_sum(
-        flat, segids, num_segments=ht * wt, indices_are_sorted=True
-    )
+    flat = ctq.reshape((-1, 12))
+    if tree is not None and not os.environ.get("ST3D_NO_PLAN_TREE"):
+        # Scatter-free padded tree reduction (see the docstring). Each
+        # level gathers from the previous level's output (+ appended zero
+        # row at index len(prev) — the pad slot the host indices point at)
+        # and sums degree-4 groups; texels finish at the level where one
+        # group holds their whole run.
+        outs = []
+        src = flat
+        for g_idx in tree["levels"]:
+            src = jnp.concatenate(
+                [src, jnp.zeros((1, 12), src.dtype)], axis=0)
+            lvl = src[g_idx].reshape(-1, 4, 12).sum(axis=1)
+            outs.append(lvl)
+            src = lvl
+        cat = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        rows = cat[tree["out_idx"]]
+        sums = jnp.zeros((ht * wt, 12), rows.dtype).at[tree["texels"]].set(
+            rows, unique_indices=True, indices_are_sorted=True)
+    else:
+        sums = jax.ops.segment_sum(
+            flat[perm], segids, num_segments=ht * wt,
+            indices_are_sorted=True,
+        )
     s = sums.reshape(ht, wt, 12)
     g = s[..., 0:3]
     g = g.at[:, 1:].add(s[:, :-1, 3:6])
     g = g.at[1:, :].add(s[:-1, :, 6:9])
     g = g.at[1:, 1:].add(s[:-1, :-1, 9:12])
-    return (g, None, None, None, None, None)
+    return (g, None, None, None, None, None, None)
 
 
 sample_covered_planned.defvjp(_planned_fwd, _planned_bwd)
@@ -278,7 +314,7 @@ def shade_compact(
     if plan is not None:
         rgb_cov = sample_covered_planned(
             texture, plan["idx"], plan["fx"], plan["fy"],
-            plan["perm"], plan["segids"],
+            plan["perm"], plan["segids"], plan.get("tree"),
         )
     else:
         rgb_cov = sample_texture(texture, uv_cov)      # (..., C, K, 3)
