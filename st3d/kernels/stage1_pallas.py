@@ -329,10 +329,12 @@ def _band_rows_c12_bwd(hp: int, wp: int, itemsize: int = 2) -> int:
     """conv1_2 bwd band rows: the (bh+4, wp+2, 1024)-wide dP scratch
     dominates, so the budget is on (bh+4)*(wp+2) directly. Limits anchor
     on on-device proven points: bf16 fits (wp=256, bh=8) and (wp=384,
-    bh=4) but OOMs at (wp=512, bh=4) — 1024² ladder check; f32 fits
-    (wp=256, bh=4). Returns bh | hp (callers fall back to the jnp
-    reference backward below bh=2)."""
-    limit = 3096 if itemsize == 2 else 2064
+    bh=4) but OOMs at (wp=512, bh=4) — 1024² ladder check. f32 at
+    (wp=256, bh=4) is MARGINAL: 16.25M — compiles standalone but 256K
+    over the limit inside the full 2D-ST step graph (first_e2e r4d), so
+    the f32 limit sits one band step lower. Returns bh | hp (callers
+    fall back to the jnp reference backward below bh=2)."""
+    limit = 3096 if itemsize == 2 else 1548
     bh = max(1, min(hp // 2, 8))
     while bh > 1 and (bh + 4) * (wp + 2) > limit:
         bh -= 1
