@@ -260,18 +260,14 @@ def compact_visibility(vis, texture_shape=None, pad_multiple: int = 512):
             "segids": jnp.asarray(segids.reshape(outer + (n4,))),
         }
         if not outer:
-            tree = _build_plan_tree(
-                tflat[0], np.asarray(cov8).reshape(-1), n4,
-                np.asarray(fx, np.float32).reshape(-1),
-                np.asarray(fy, np.float32).reshape(-1), ht * wt,
-            )
+            tree = _build_plan_tree(tflat[0], np.asarray(cov8).reshape(-1),
+                                    n4)
             if tree is not None:
                 out["plan"]["tree"] = tree
     return out
 
 
-def _build_plan_tree(tix_flat, cov_flat, n_rows, fx_flat, fy_flat,
-                     n_texels):
+def _build_plan_tree(tix_flat, cov_flat, n_rows):
     """Host-side scatter-free reduction tree for the sampling plan's
     texture gradient (consumed by shading._planned_bwd; see its docstring
     for the why — XLA's segment-sum scatter degrades superlinearly with
@@ -288,29 +284,9 @@ def _build_plan_tree(tix_flat, cov_flat, n_rows, fx_flat, fy_flat,
     3 levels cover the measured max). Returns None for empty coverage or
     when the tree exceeds the level cap (degenerate UV mappings — the
     segment-sum fallback handles those).
-
-    Two further statics baked in (both exactness-preserving — same
-    products, same addition order):
-
-    - ``w4`` (4G, 4) f32: the bilinear corner weights (w00, w01, w10,
-      w11) of each level-1 slot's pixel. fx/fy are plan constants, so
-      the runtime backward gathers the raw 3-wide ct rows and expands
-      3 → 12 with this static table instead of materializing the full-N
-      (rows, 12) weighted quad array first (profiler: the mul + concat
-      cost ~2.2ms/step at 768²).
-    - ``win_ids``/``win_nodes``: the per-texel results land via an
-      8-texel WINDOWED scatter-set — (n_windows, 96)-float rows into the
-      (Ht*Wt/8, 96) view of the texel grid — instead of (n_covered, 12)
-      rows (TPU scatters are row-rate-limited; the 12-float rows
-      measured 4.2ms/step at 768², the same pathology class the frame
-      scatter's flat-row trick fixed). ``win_nodes`` maps each window
-      slot to its texel's finished tree node (pad = the appended zero
-      row), so the scatter's gather source is the level-output concat.
     """
     import numpy as np
 
-    if n_texels % 8:
-        return None
     keep = np.nonzero(cov_flat)[0]
     if len(keep) == 0:
         return None
@@ -349,31 +325,12 @@ def _build_plan_tree(tix_flat, cov_flat, n_rows, fx_flat, fy_flat,
         src_len = g_total
     else:
         return None                           # level cap hit: fall back
-
-    # Static level-1 slot weights (pads keep 0 — they gather the zero ct
-    # row anyway; both factors exactly zero the slot).
-    g1 = levels[0]
-    w4 = np.zeros((len(g1), 4), np.float32)
-    real = g1 < n_rows
-    fxr, fyr = fx_flat[g1[real]], fy_flat[g1[real]]
-    w4[real, 0] = (1 - fxr) * (1 - fyr)
-    w4[real, 1] = fxr * (1 - fyr)
-    w4[real, 2] = (1 - fxr) * fyr
-    w4[real, 3] = fxr * fyr
-
-    # Windowed landing: 8-texel windows, slots map to finished nodes.
     level_off = np.concatenate([[0], np.cumsum(level_sizes)])
-    node_of = level_off[out_level] + out_node          # aligned with uniq
-    wins = uniq // 8
-    win_ids = np.unique(wins)
-    win_nodes = np.full(len(win_ids) * 8, level_off[-1], np.int64)
-    win_rank = np.searchsorted(win_ids, wins)
-    win_nodes[win_rank * 8 + uniq % 8] = node_of
     return {
         "levels": tuple(jnp.asarray(g) for g in levels),
-        "w4": jnp.asarray(w4),
-        "win_ids": jnp.asarray(win_ids.astype(np.int32)),
-        "win_nodes": jnp.asarray(win_nodes.astype(np.int32)),
+        "out_idx": jnp.asarray(
+            (level_off[out_level] + out_node).astype(np.int32)),
+        "texels": jnp.asarray(uniq.astype(np.int32)),
     }
 
 

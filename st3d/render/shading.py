@@ -193,44 +193,43 @@ def _planned_bwd(res, ct):
     # whose target texel is the k-th corner of the quad anchored at the
     # row's texel — fold them with dense shifted adds (the transpose of
     # _quad_pack's shifted concats).
+    w00 = (1 - fx) * (1 - fy)
+    w01 = fx * (1 - fy)
+    w10 = (1 - fx) * fy
+    w11 = fx * fy
+    ctq = jnp.concatenate(
+        [ct * w00[..., None], ct * w01[..., None],
+         ct * w10[..., None], ct * w11[..., None]], axis=-1)
+    flat = ctq.reshape((-1, 12))
     if tree is not None and not os.environ.get("ST3D_NO_PLAN_TREE"):
-        # Scatter-free padded tree reduction (see the docstring). Level 1
-        # gathers the RAW 3-wide ct rows and expands 3 -> 12 with the
-        # plan's static corner-weight table (same products as the ctq
-        # concat below, no full-N weighted array); each level gathers
-        # from the previous level's output (+ appended zero row at index
-        # len(prev) — the pad slot the host indices point at) and sums
-        # degree-4 groups; texels finish at the level where one group
-        # holds their whole run. Results land via the 8-texel windowed
-        # scatter-set (96-float rows — the frame scatter's flat-row
-        # trick; 12-float rows measured 4.2ms/step at 768²).
+        # Scatter-free padded tree reduction (see the docstring). Each
+        # level gathers from the previous level's output (+ appended zero
+        # row at index len(prev) — the pad slot the host indices point at)
+        # and sums degree-4 groups; texels finish at the level where one
+        # group holds their whole run, landing via ONE sorted-unique
+        # 12-float-row scatter-set. Two rejected refinements, micro-
+        # benchmarked on-device (/tmp-reproducible, PERF_NOTES round 4):
+        # an 8-texel 96-float windowed landing (the frame scatter's
+        # flat-row trick) measured 3.2x SLOWER than these 12-float rows
+        # (7.3 vs 2.06ms at 512² — the (Ht*Wt/8, 96) <-> (Ht, Wt, 12)
+        # relayouts swamp the row-rate saving), and gathering raw 3-wide
+        # ct rows + expanding with a static corner-weight table lost ~35%
+        # vs building the full-N ctq above (2.77 vs 2.06ms).
         outs = []
-        src = ct.reshape(-1, 3).astype(jnp.float32)
-        for i, g_idx in enumerate(tree["levels"]):
+        src = flat
+        for g_idx in tree["levels"]:
             src = jnp.concatenate(
-                [src, jnp.zeros((1, src.shape[-1]), src.dtype)], axis=0)
-            g = src[g_idx]
-            if i == 0:
-                g = (tree["w4"][:, :, None] * g[:, None, :]).reshape(-1, 12)
-            lvl = g.reshape(-1, 4, 12).sum(axis=1)
+                [src, jnp.zeros((1, 12), src.dtype)], axis=0)
+            lvl = src[g_idx].reshape(-1, 4, 12).sum(axis=1)
             outs.append(lvl)
             src = lvl
         cat = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-        cat = jnp.concatenate([cat, jnp.zeros((1, 12), cat.dtype)], axis=0)
-        rows8 = cat[tree["win_nodes"]].reshape(-1, 96)
-        sums = jnp.zeros((ht * wt // 8, 96), rows8.dtype).at[
-            tree["win_ids"]].set(
-            rows8, unique_indices=True, indices_are_sorted=True)
+        rows = cat[tree["out_idx"]]
+        sums = jnp.zeros((ht * wt, 12), rows.dtype).at[tree["texels"]].set(
+            rows, unique_indices=True, indices_are_sorted=True)
     else:
-        w00 = (1 - fx) * (1 - fy)
-        w01 = fx * (1 - fy)
-        w10 = (1 - fx) * fy
-        w11 = fx * fy
-        ctq = jnp.concatenate(
-            [ct * w00[..., None], ct * w01[..., None],
-             ct * w10[..., None], ct * w11[..., None]], axis=-1)
         sums = jax.ops.segment_sum(
-            ctq.reshape((-1, 12))[perm], segids, num_segments=ht * wt,
+            flat[perm], segids, num_segments=ht * wt,
             indices_are_sorted=True,
         )
     s = sums.reshape(ht, wt, 12)

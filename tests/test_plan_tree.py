@@ -1,7 +1,7 @@
 """The scatter-free texture-gradient reduction tree (renderer._build_plan_
-tree + shading._planned_bwd): exactness vs the segment-sum fallback on
-synthetic plans, the structural edge cases that gate it off, and the
-fold_gram48 tracer-leak regression."""
+tree + shading._planned_bwd): exactness vs a dense oracle on synthetic
+plans, the structural edge cases that gate it off, and the fold_gram48
+tracer-leak regression."""
 
 import numpy as np
 import jax
@@ -11,37 +11,29 @@ import pytest
 from st3d.render.renderer import _build_plan_tree
 
 
-def _ref_sums(tix, cov, ct3, w4_of, n_texels):
+def _ref_sums(tix, cov, ctq, n_texels):
     """Oracle: per-texel f64 sums of the 12-wide weighted quad rows."""
     out = np.zeros((n_texels, 12), np.float64)
     for i in range(len(tix)):
-        if not cov[i]:
-            continue
-        out[tix[i]] += np.concatenate(
-            [w4_of[i, c] * ct3[i] for c in range(4)])
+        if cov[i]:
+            out[tix[i]] += ctq[i]
     return out
 
 
-def _run_tree(tree, ct3, n_texels):
+def _run_tree(tree, ctq, n_texels):
     """Evaluate the tree exactly as shading._planned_bwd does."""
     outs = []
-    src = jnp.asarray(ct3, jnp.float32)
-    for i, g_idx in enumerate(tree["levels"]):
-        src = jnp.concatenate(
-            [src, jnp.zeros((1, src.shape[-1]), src.dtype)], axis=0)
-        g = src[g_idx]
-        if i == 0:
-            g = (tree["w4"][:, :, None] * g[:, None, :]).reshape(-1, 12)
-        lvl = g.reshape(-1, 4, 12).sum(axis=1)
+    src = jnp.asarray(ctq, jnp.float32)
+    for g_idx in tree["levels"]:
+        src = jnp.concatenate([src, jnp.zeros((1, 12), src.dtype)], axis=0)
+        lvl = src[g_idx].reshape(-1, 4, 12).sum(axis=1)
         outs.append(lvl)
         src = lvl
     cat = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-    cat = jnp.concatenate([cat, jnp.zeros((1, 12), cat.dtype)], axis=0)
-    rows8 = cat[tree["win_nodes"]].reshape(-1, 96)
-    sums = jnp.zeros((n_texels // 8, 96), rows8.dtype).at[
-        tree["win_ids"]].set(rows8, unique_indices=True,
-                             indices_are_sorted=True)
-    return np.asarray(sums).reshape(n_texels, 12)
+    rows = cat[tree["out_idx"]]
+    sums = jnp.zeros((n_texels, 12), rows.dtype).at[tree["texels"]].set(
+        rows, unique_indices=True, indices_are_sorted=True)
+    return np.asarray(sums)
 
 
 @pytest.mark.parametrize("seed,n_rows,n_texels", [
@@ -54,37 +46,25 @@ def test_tree_matches_dense_oracle(seed, n_rows, n_texels):
     # clustering real UV islands produce; exercises multi-level segments).
     tix = (rng.rand(n_rows) ** 2 * n_texels).astype(np.int32)
     cov = rng.rand(n_rows) < 0.8
-    fx = rng.rand(n_rows).astype(np.float32)
-    fy = rng.rand(n_rows).astype(np.float32)
-    tree = _build_plan_tree(tix, cov, n_rows, fx, fy, n_texels)
+    tree = _build_plan_tree(tix, cov, n_rows)
     assert tree is not None
-    w4 = np.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
-                   (1 - fx) * fy, fx * fy], axis=1)
-    ct3 = rng.randn(n_rows, 3).astype(np.float32)
-    got = _run_tree(tree, ct3, n_texels)
-    want = _ref_sums(tix, cov, ct3, w4, n_texels)
+    ctq = rng.randn(n_rows, 12).astype(np.float32)
+    got = _run_tree(tree, ctq, n_texels)
+    want = _ref_sums(tix, cov, ctq, n_texels)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
 
 
-def test_tree_gates():
-    """Structural gates return None (the segment-sum fallback handles
-    these): empty coverage, texel count not a multiple of 8, and the
-    level cap (one texel with a huge degree needs >10 levels only past
-    4**10 rows — instead check a degenerate all-one-texel plan still
-    BUILDS correctly, since 4^10 rows is beyond any real plan)."""
-    fx = np.zeros(16, np.float32)
-    fy = np.zeros(16, np.float32)
+def test_tree_gates_and_degenerate():
+    """Empty coverage returns None (the segment-sum fallback handles it);
+    a degenerate all-one-texel plan still builds and sums exactly."""
     tix = np.zeros(16, np.int32)
-    assert _build_plan_tree(tix, np.zeros(16, bool), 16, fx, fy, 64) is None
-    assert _build_plan_tree(tix, np.ones(16, bool), 16, fx, fy, 60) is None
-    # All rows on one texel: 16 rows -> 4 L1 nodes -> 1 L2 node, exact sum.
-    tree = _build_plan_tree(tix, np.ones(16, bool), 16, fx, fy, 64)
+    assert _build_plan_tree(tix, np.zeros(16, bool), 16) is None
+    # All rows on one texel: 16 rows -> 4 L1 nodes -> 1 L2 node.
+    tree = _build_plan_tree(tix, np.ones(16, bool), 16)
     assert tree is not None and len(tree["levels"]) == 2
-    ct3 = np.arange(48, dtype=np.float32).reshape(16, 3)
-    got = _run_tree(tree, ct3, 64)
-    # fx=fy=0 -> w00=1, other corners 0.
-    np.testing.assert_allclose(got[0, 0:3], ct3.sum(axis=0), rtol=1e-6)
-    np.testing.assert_allclose(got[0, 3:], 0.0)
+    ctq = np.arange(192, dtype=np.float32).reshape(16, 12)
+    got = _run_tree(tree, ctq, 64)
+    np.testing.assert_allclose(got[0], ctq.sum(axis=0), rtol=1e-6)
     np.testing.assert_allclose(got[1:], 0.0)
 
 
