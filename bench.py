@@ -80,20 +80,39 @@ def build_step(dtype_name: str = "bfloat16", gram1: bool = True):
     style = load_as_tensor(resolve_asset(cfg.style_path), SIZE)
     style_b = jnp.broadcast_to(style[None], (VIEWS,) + style.shape)
 
-    content_imgs, _ = jax.jit(
-        lambda m, c: render_meshes(m, c, settings)
-    )(mesh, cams)
-    targets = StyleContentTargets.create(
-        content_imgs, style_b, vgg, dtype=dtype, layout="NHWC"
-    )
+    # The setup computations (content render, target features, visibility
+    # precompute) are one-shot jits that cost ~200s/fresh process on the
+    # axon remote-compile path even when the STEP loads from the AOT cache
+    # (PERF_NOTES round-4 item 2). Route them through the same executable
+    # cache; inputs ride as args (not closure constants) so the blobs stay
+    # small and the HLO hash cheap.
+    def _prep(fn, args, tag):
+        jitted = jax.jit(fn)
+        if os.environ.get("ST3D_NO_AOT"):
+            return jitted(*args)
+        from st3d.utils.aot import load_or_compile
+
+        specs = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), args)
+        compiled, _, _ = load_or_compile(
+            jitted, specs, tag=f"{tag}_{SIZE}_{dtype_name}")
+        return compiled(*args)
+
+    content_imgs, _ = _prep(
+        lambda m, c: render_meshes(m, c, settings), (mesh, cams),
+        "prep_render")
+    targets = _prep(
+        lambda ci, si, v: StyleContentTargets.create(
+            ci, si, v, dtype=dtype, layout="NHWC"),
+        (content_imgs, style_b, vgg), "prep_targets")
 
     params, optimizer, opt_state = setup_optimizations("texture", mesh, 0.01)
 
     # Texture-only target: visibility is constant, hoisted out of the loop
     # (same fast path the pipelines use).
-    vis = compact_visibility(jax.jit(
-        lambda m, c: precompute_visibility(m, c, settings)
-    )(mesh, cams), texture_shape=mesh.texture.shape)
+    vis = compact_visibility(_prep(
+        lambda m, c: precompute_visibility(m, c, settings), (mesh, cams),
+        "prep_vis"), texture_shape=mesh.texture.shape)
 
     def loss_fn(p):
         # NHWC end-to-end: rgba straight from the static shade into VGG.
