@@ -29,10 +29,10 @@ VARIANTS = [
     ("packed_bwd_v2", {"ST3D_PACKED_BWD": "v2"}, {}),
     ("no_stage1", {"ST3D_NO_STAGE1_V2": "1"}, {}),
     ("no_tree", {"ST3D_NO_PLAN_TREE": "1"}, {}),
-    ("fused_gram_deep", {"ST3D_FUSED_GRAM_DEEP": "1"}, {}),
-    # Formally-correct frame scatter (no unique_indices promise on the
-    # duplicated pad rows, shading.py) — flip the default if free.
-    ("scatter_nonunique", {"ST3D_SCATTER_NONUNIQUE": "1"}, {}),
+    # r4f flipped fused_gram_deep + the formally-correct frame scatter to
+    # default (A/B: 44.95 / 44.87 vs 44.64 default median); the reverts:
+    ("no_gram_deep", {"ST3D_NO_FUSED_GRAM_DEEP": "1"}, {}),
+    ("scatter_unique", {"ST3D_SCATTER_UNIQUE": "1"}, {}),
 ]
 
 if os.environ.get("ST3D_AB_VARIANTS"):

@@ -170,13 +170,16 @@ def _pallas_convs() -> frozenset:
 def _fused_gram_convs() -> frozenset:
     """Conv indices whose style Gram is accumulated inside the Pallas conv
     kernel (the tap is never exported). conv2_1 by default (+2.6% measured,
-    round 3); ST3D_NO_FUSED_GRAM2 removes it, ST3D_FUSED_GRAM_DEEP=1 adds
-    the deeper style taps conv3_1/conv4_1/conv5_1 (A/B candidate — their
-    export traffic is smaller, win unproven)."""
+    round 3); ST3D_NO_FUSED_GRAM2 removes it. The deeper style taps
+    conv3_1/conv4_1/conv5_1 are ALSO default since round 4: the r4f
+    interleaved A/B put them above the tap-export route in all 5 windows
+    (median 44.95 vs 44.64 it/s @512² bf16, +0.7%); ST3D_NO_FUSED_GRAM_DEEP
+    reverts (ST3D_FUSED_GRAM_DEEP stays accepted as a force-on)."""
     convs = set()
     if not os.environ.get("ST3D_NO_FUSED_GRAM2"):
         convs.add(TAP_CONV_INDEX["conv2_1"])
-    if os.environ.get("ST3D_FUSED_GRAM_DEEP"):
+    if (not os.environ.get("ST3D_NO_FUSED_GRAM_DEEP")
+            or os.environ.get("ST3D_FUSED_GRAM_DEEP")):
         convs.update(TAP_CONV_INDEX[n]
                      for n in ("conv3_1", "conv4_1", "conv5_1"))
     return frozenset(convs)
@@ -395,7 +398,9 @@ def get_features(
             # before — the packed layout removed the ops this fusion used
             # to hide behind; ST3D_NO_FUSED_GRAM2 reverts). The deeper
             # style taps (conv3_1/conv4_1/conv5_1, smaller spatial) are
-            # the A/B candidate ST3D_FUSED_GRAM_DEEP=1.
+            # default ON since round 4 (r4f A/B: above the tap route in
+            # all 5 windows, +0.7% median; ST3D_NO_FUSED_GRAM_DEEP
+            # reverts).
             from st3d.kernels.conv_pallas import conv3x3_bias_gram
 
             x, g = conv3x3_bias_gram(x, w, b)

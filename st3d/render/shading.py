@@ -333,12 +333,13 @@ def shade_compact(
 
     # compact_visibility pads idx with REPEATED copies of the trash row
     # h*w//k, so `unique_indices=True` is formally a lie whenever a view
-    # has 2+ pad slots. It is physically benign under any plausible
-    # lowering — every duplicate writes the IDENTICAL bg payload to the
-    # one trash row that flat[:-1] slices off — and the flag is part of
-    # the measured fast scatter path, so the safe variant is an A/B
-    # candidate (ST3D_SCATTER_NONUNIQUE=1) rather than the default.
-    unique = not os.environ.get("ST3D_SCATTER_NONUNIQUE")
+    # has 2+ pad slots (every duplicate writes the IDENTICAL bg payload
+    # to the one trash row that flat[:-1] slices off, so it was benign
+    # under any plausible lowering). The r4f interleaved A/B measured the
+    # formally-correct scatter FREE (median 44.87 vs 44.64 it/s @512²
+    # bf16, >= default in 4/5 windows), so correct is now the default;
+    # ST3D_SCATTER_UNIQUE=1 restores the old promise for A/B.
+    unique = bool(os.environ.get("ST3D_SCATTER_UNIQUE"))
 
     def one_view(idx_v, vals_v):
         # Rows are FLAT (k*3,) vectors: a (rows, k, 3) scatter operand gets
