@@ -1,9 +1,10 @@
 #!/bin/bash
-# Round-4f TPU batch: the kernel-variant A/Bs that died with the original
-# stage1 bug and were never re-run (packed_bwd_v2 / fused_gram_deep /
-# scatter_nonunique), plus the FLEET_TPU.json artifact refresh (the 4.74
-# epochs/s refresh in PERF_NOTES was measured but the JSON still holds
-# the pre-stage1 4.13 run). Serial, one TPU process at a time.
+# ARCHIVAL (round-4f, pre-default-flip): this batch ran BEFORE fused_gram_deep
+# became the default and before ST3D_SCATTER_NONUNIQUE was retired (the correct
+# scatter is now default; ST3D_SCATTER_UNIQUE restores the old promise). Re-running
+# it today would A/B default-vs-default. Kept for provenance of the r4f numbers;
+# for current variants see CLAUDE.md's "Perf A/B envs" (ST3D_NO_FUSED_GRAM_DEEP /
+# ST3D_SCATTER_UNIQUE). Serial, one TPU process at a time.
 set -u
 cd /root/repo
 LOG=/tmp/perf_r4f.log

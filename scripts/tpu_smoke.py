@@ -468,10 +468,10 @@ def main() -> int:
 
     # --- 8. fused conv+Gram at the DEEP style-tap shapes ----------------
     # conv2_1's fused Gram has been in production since round 3 (512²-input
-    # shape); ST3D_FUSED_GRAM_DEEP routes conv3_1/conv4_1/conv5_1 through
-    # the same kernel at cin 128->512 — never compiled on-device before
-    # this check. fwd conv + Gram vs XLA, bwd (incl. a Gram cotangent)
-    # vs the unfused chain.
+    # shape); the deep fused Grams (conv3_1/conv4_1/conv5_1 through the same
+    # kernel at cin 128->512) are DEFAULT ON since r4f (+0.7% measured;
+    # ST3D_NO_FUSED_GRAM_DEEP reverts). fwd conv + Gram vs XLA, bwd (incl.
+    # a Gram cotangent) vs the unfused chain.
     from st3d.kernels.conv_pallas import conv3x3_bias_gram
 
     for dtype, shape, cout, ftol, gtol in (

@@ -342,6 +342,16 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
         # renderer (hot loop B) — chunked scan, losses logged per step.
         # Chunks never cross a checkpoint_every boundary, so mid-batch
         # checkpoints fire for ANY checkpoint_every value.
+        # Per-step progress bar with loss postfix mirrors the reference
+        # (first_approach.py:191: tqdm(..., desc="Optimizing", postfix=loss)).
+        mse_bar = None
+        try:
+            from tqdm import tqdm as _tqdm
+
+            mse_bar = _tqdm(total=cfg.n_mse_steps, initial=done,
+                            desc="Optimizing")
+        except ImportError:
+            pass
         if use_dp:
             # The sampling plan cannot be view-sharded (renderer.drop_plan);
             # the DP path keeps autodiff's scatter.
@@ -360,6 +370,9 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
                         params, opt_state, camR_s, camT_s, applied_s, vis_s
                     )
                     logger.log_step(i, done + k, float(loss))
+                    if mse_bar is not None:
+                        mse_bar.set_postfix(loss=float(loss))
+                        mse_bar.update(1)
             else:
                 params, opt_state, losses = mse_steps(
                     params, opt_state, batch_cams,
@@ -369,6 +382,9 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
                 )
                 for k, lv in enumerate(np.asarray(losses)):
                     logger.log_step(i, done + k, float(lv))
+                if mse_bar is not None:
+                    mse_bar.set_postfix(loss=float(np.asarray(losses)[-1]))
+                    mse_bar.update(n)
             done += n
             if (cfg.checkpoint_every and done < cfg.n_mse_steps
                     and done % cfg.checkpoint_every == 0):
@@ -376,6 +392,8 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
                     ckpt_path, i, params, opt_state, rng,
                     extras={"mse_done": done, "applied": applied},
                 )
+        if mse_bar is not None:
+            mse_bar.close()
 
         save_checkpoint(ckpt_path, i + 1, params, opt_state, rng)
 
