@@ -122,10 +122,14 @@ _warned_random = False
 
 def get_vgg(weights_path: Optional[str] = None) -> VGG19:
     """Reference-named constructor (utils.py:48-52). Resolution order: arg,
-    $ST3D_VGG_WEIGHTS, <repo>/weights/vgg19_imagenet.npz, random fallback."""
+    $ST3D_VGG_WEIGHTS, <repo>/weights/vgg19_imagenet.npz, random fallback.
+    An explicitly requested ``weights_path`` that is missing raises — it
+    never silently falls through to the env/repo/random channels."""
     global _warned_random
     candidates = []
     if weights_path:
+        if not os.path.isfile(weights_path):
+            raise FileNotFoundError(weights_path)
         candidates.append(weights_path)
     env = os.environ.get("ST3D_VGG_WEIGHTS")
     if env:
@@ -136,8 +140,6 @@ def get_vgg(weights_path: Optional[str] = None) -> VGG19:
     for cand in candidates:
         if os.path.isfile(cand):
             return load_vgg19_npz(cand)
-    if weights_path:  # explicitly requested file missing -> hard error
-        raise FileNotFoundError(weights_path)
     if not _warned_random:
         warnings.warn(
             "No pretrained VGG-19 weights found (zero-egress environment); "

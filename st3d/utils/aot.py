@@ -45,7 +45,16 @@ def _environment_key() -> str:
     dev = jax.devices()[0]
     client = getattr(dev, "client", None)
     platver = getattr(client, "platform_version", "?")
-    return f"jax={jax.__version__};kind={dev.device_kind};rt={platver}"
+    key = f"jax={jax.__version__};kind={dev.device_kind};rt={platver}"
+    if getattr(dev, "platform", None) == "cpu":
+        # XLA:CPU codegen is host-microarchitecture-dependent; a blob from
+        # a different host could SIGILL (VERDICT r4 item 2). TPU blobs are
+        # backend-side and must NOT key on the local host (warm caches
+        # survive host changes).
+        from st3d.utils.compilecache import host_cpu_fingerprint
+
+        key += f";host={host_cpu_fingerprint()}"
+    return key
 
 
 def _n_exec_devices(compiled) -> "int | None":

@@ -15,6 +15,7 @@ step; this is TPU-framework infrastructure (VERDICT r2 item 4).
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 _DEFAULT_DIR = os.path.join(
@@ -23,12 +24,46 @@ _DEFAULT_DIR = os.path.join(
 )
 
 
+def host_cpu_fingerprint() -> str:
+    """Stable 12-hex hash of the host CPU's architecture + ISA feature set.
+
+    XLA:CPU executables embed microarchitecture-dependent codegen choices
+    (e.g. ``+prefer-no-gather``); an entry compiled on one host and loaded
+    on another with a different feature set triggers XLA's "could lead to
+    execution errors such as SIGILL" warning (seen in MULTICHIP_r04's
+    dryrun tail, VERDICT r4 item 2). Both on-disk caches scope their CPU
+    entries by this fingerprint so a foreign-host entry is a clean MISS,
+    never a feature-mismatched load."""
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                # x86 exposes "flags", aarch64 "Features".
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = platform.machine() + "\x00" + feats
+    return hashlib.sha256(raw.encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
-    """Point JAX's persistent compilation cache at ``cache_dir``.
+    """Point JAX's persistent compilation cache at a host-scoped subdir of
+    ``cache_dir``.
 
     Resolution: explicit arg > ``$ST3D_COMPILE_CACHE`` > ``<repo>/.jax_cache``.
     Setting ``$ST3D_COMPILE_CACHE`` to the empty string disables caching.
     Returns the directory used ('' when disabled).
+
+    The actual cache lives in ``<cache_dir>/host-<cpu fingerprint>`` so a
+    repo (and its cache) moved between heterogeneous hosts can never serve
+    an ISA-incompatible XLA:CPU entry (see ``host_cpu_fingerprint``). TPU
+    compiles lose nothing: round-3 measured this cache does not accelerate
+    the axon remote-compile path at all (PERF_NOTES) — its wins are the
+    CPU test suite and dryruns, exactly the entries that need the scoping.
     """
     import jax
 
@@ -40,6 +75,7 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
             cache_dir = env
         else:
             cache_dir = _DEFAULT_DIR
+    cache_dir = os.path.join(cache_dir, f"host-{host_cpu_fingerprint()}")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # Cache everything that took real compile time (default threshold is 1s;

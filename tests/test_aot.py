@@ -121,6 +121,51 @@ def test_corrupt_blob_falls_back(tmp_path, monkeypatch):
     assert c(x, y).shape == (16, 4)
 
 
+def test_foreign_host_blob_is_clean_miss(tmp_path, monkeypatch):
+    """A CPU blob cached under a DIFFERENT host-CPU fingerprint must be a
+    clean cache MISS (fresh compile), never a feature-mismatched load —
+    the MULTICHIP_r04 'could lead to SIGILL' hazard (VERDICT r4 item 2)."""
+    from st3d.utils import aot, compilecache
+
+    monkeypatch.setenv("ST3D_AOT_CACHE", str(tmp_path))
+    x, y = _args()
+    key_here = aot._environment_key()
+    assert f";host={compilecache.host_cpu_fingerprint()}" in key_here
+
+    load_or_compile(_fn, (x, y), tag="t", verbose=False)
+    blobs = [p for p in os.listdir(tmp_path) if p.endswith(".aot")]
+    if not blobs:
+        pytest.skip("executable serialization unsupported on this backend")
+
+    # Simulate arriving on a host with a different ISA feature set.
+    monkeypatch.setattr(compilecache, "host_cpu_fingerprint",
+                        lambda: "deadbeef0000")
+    assert aot._environment_key() != key_here
+    c, hit, _ = load_or_compile(_fn, (x, y), tag="t", verbose=False)
+    assert hit is False                   # miss, not a mismatched load
+    assert c(x, y).shape == (16, 4)
+
+
+def test_compilation_cache_dir_is_host_scoped(tmp_path, monkeypatch):
+    """enable_compilation_cache must scope the XLA persistent cache under
+    host-<cpu fingerprint> so heterogeneous hosts never share CPU entries."""
+    from st3d.utils.compilecache import (enable_compilation_cache,
+                                         host_cpu_fingerprint)
+
+    fp = host_cpu_fingerprint()
+    assert len(fp) == 12 and fp == host_cpu_fingerprint()  # stable
+    used = enable_compilation_cache(str(tmp_path))
+    try:
+        assert used == os.path.join(str(tmp_path), f"host-{fp}")
+        assert os.path.isdir(used)
+        monkeypatch.setenv("ST3D_COMPILE_CACHE", "")
+        assert enable_compilation_cache() == ""       # disable still works
+    finally:
+        # Restore the suite's shared cache dir (conftest set it once).
+        monkeypatch.delenv("ST3D_COMPILE_CACHE", raising=False)
+        enable_compilation_cache()
+
+
 def test_invalidate_last_loaded_blob(tmp_path, monkeypatch):
     """After a cache LOAD, invalidate_last_loaded_blob deletes the blob
     (the poisoned-executable self-heal bench.py's child uses) and is a
