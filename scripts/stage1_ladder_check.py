@@ -22,11 +22,30 @@ import jax.numpy as jnp
 
 
 def main() -> int:
-    from st3d.kernels.stage1_pallas import (
-        conv1_1_packed,
-        conv1_2_packed_pool,
-        stage1_supported,
-    )
+    if "--v2" in sys.argv:
+        from st3d.kernels.stage1_pallas import (
+            conv1_1_packed,
+            conv1_2_packed_pool,
+            stage1_supported,
+        )
+
+        def loss_of(xx, w1, b1, w2, b2):
+            z5, g48, s48 = conv1_1_packed(xx, w1, b1)
+            p, _ = conv1_2_packed_pool(z5, w2, b2)
+            return (jnp.sum(p.astype(jnp.float32) ** 2)
+                    + 1e-6 * jnp.sum(g48) + 1e-6 * jnp.sum(s48))
+    else:                                    # v3 (the default kernels)
+        from st3d.kernels.stage1v3_pallas import (
+            conv1_1_packed_v3 as conv1_1_packed,
+            conv1_2_packed_pool_v3 as conv1_2_packed_pool,
+            stage1_v3_supported as stage1_supported,
+        )
+
+        def loss_of(xx, w1, b1, w2, b2):
+            z5, g64 = conv1_1_packed(xx, w1, b1)
+            p, _ = conv1_2_packed_pool(z5, w2, b2)
+            return (jnp.sum(p.astype(jnp.float32) ** 2)
+                    + 1e-6 * jnp.sum(g64))
 
     key = jax.random.PRNGKey(3)
     ok = True
@@ -42,10 +61,7 @@ def main() -> int:
         assert stage1_supported(x, dtype), (size, dtype)
 
         def loss(xx):
-            z5, g48, s48 = conv1_1_packed(xx, w1, b1)
-            p, _ = conv1_2_packed_pool(z5, w2, b2)
-            return (jnp.sum(p.astype(jnp.float32) ** 2)
-                    + 1e-6 * jnp.sum(g48) + 1e-6 * jnp.sum(s48))
+            return loss_of(xx, w1, b1, w2, b2)
 
         t0 = time.time()
         try:

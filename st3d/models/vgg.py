@@ -337,26 +337,46 @@ def get_features(
         b = model.biases[conv_i].astype(dtype)
         did_relu = False
         if conv_i == 0 and _stage1_v2_ok(x, gram1, wanted):
-            # Phase-aligned packed stage 1 (env ST3D_STAGE1_V2): conv1_1
-            # emits its relu'd activation DIRECTLY in the space-to-depth
-            # packed layout + the quad-patch Gram stats (its unpacked
-            # (B,H,W,64) form never exists); conv1_2+pool1 consume it with
-            # zero XLA glue — kills the pad/reshape/slice ops around the
-            # round-3 packed conv1_2 AND the conv1_1 im2col chain
-            # (~4-6ms/step at 512², PERF_NOTES round 4).
-            from st3d.kernels.stage1_pallas import (
-                conv1_1_packed, conv1_2_packed_pool, fold_gram48,
-            )
+            # Phase-aligned packed stage 1: conv1_1 emits its relu'd
+            # activation DIRECTLY in the space-to-depth packed layout (its
+            # unpacked (B,H,W,64) form never exists); conv1_2+pool1 consume
+            # it with zero XLA glue — kills the pad/reshape/slice ops
+            # around the round-3 packed conv1_2 AND the conv1_1 im2col
+            # chain (~4-6ms/step at 512², PERF_NOTES round 4). v3 (default
+            # since round 5) adds lane-aligned staging + matmul-based
+            # backward folds and replaces the quad-patch Gram stats with
+            # the direct 64x64 pre-relu output Gram — the round-5 trace
+            # showed the v2 kernels at 5.0ms/step vs a ~1.5ms roofline at
+            # 512². ST3D_STAGE1=v2 reverts to the v2 kernels for A/B.
+            from st3d.kernels.stage1v3_pallas import stage1_v3_supported
 
             bsz, h, wd, _ = x.shape
-            z5, g48, s48 = conv1_1_packed(x, w, b)
-            feats["conv1_1:gram"] = fold_gram48(
-                g48, s48, model.kernels[0], model.biases[0], h * wd
-            )
-            x, _ = conv1_2_packed_pool(
-                z5, model.kernels[1].astype(dtype),
-                model.biases[1].astype(dtype),
-            )
+            use_v3 = (os.environ.get("ST3D_STAGE1") != "v2"
+                      and stage1_v3_supported(x))
+            if use_v3:
+                from st3d.kernels.stage1v3_pallas import (
+                    conv1_1_packed_v3, conv1_2_packed_pool_v3,
+                )
+
+                z5, g64 = conv1_1_packed_v3(x, w, b)
+                feats["conv1_1:gram"] = g64
+                x, _ = conv1_2_packed_pool_v3(
+                    z5, model.kernels[1].astype(dtype),
+                    model.biases[1].astype(dtype),
+                )
+            else:
+                from st3d.kernels.stage1_pallas import (
+                    conv1_1_packed, conv1_2_packed_pool, fold_gram48,
+                )
+
+                z5, g48, s48 = conv1_1_packed(x, w, b)
+                feats["conv1_1:gram"] = fold_gram48(
+                    g48, s48, model.kernels[0], model.biases[0], h * wd
+                )
+                x, _ = conv1_2_packed_pool(
+                    z5, model.kernels[1].astype(dtype),
+                    model.biases[1].astype(dtype),
+                )
             skip_convs = 1             # conv1_2 consumed here
             skip_pool = True           # pool1 consumed here
             did_relu = True
