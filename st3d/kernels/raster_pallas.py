@@ -422,56 +422,76 @@ def rasterize_pallas(
 # The resident kernel above keeps the whole (20, F_pad) coefficient array in
 # VMEM per view — ideal for reference-scale meshes (cow 5,856 / bob 10,696
 # tris) but impossible at large face counts (500k faces = 40 MB > VMEM).
-# This variant instead walks face chunks on a third grid dimension whose
-# coefficient BlockSpec index is driven by per-tile chunk RANGES (scalar
-# prefetch): tile t only visits chunks [c_lo(t), c_hi(t)] of the y-sorted
-# order — Pallas double-buffers the chunk loads automatically, indices
-# clamped at c_hi repeat the same block (no reload, compute skipped).
-# Residency: one (nrows, fc) chunk (+ pipeline buffer) regardless of F.
+# This variant keeps the resident kernel's per-tile fori-over-chunks
+# structure — grid (views, tiles), chunk trip count DYNAMIC per tile —
+# but the coefficient array stays in HBM (memory_space=ANY) and each
+# y-culled chunk is brought in with an explicit double-buffered DMA into a
+# 2-slot VMEM scratch. Residency: 2 x (nrows, fc) regardless of F.
+#
+# (The round-4 version instead walked chunks on a THIRD grid dimension
+# with clamped BlockSpec indices: every tile then paid the full
+# n_chunks-long grid axis in per-iteration overhead even where its y-range
+# covered a handful of chunks — BENCH_FACES measured 18x-off-resident at
+# 81,920 faces and 831 ms/view at 327,680, scaling as tiles x chunks
+# instead of as covered work. VERDICT r4 item 3.)
 
 # Streaming kicks in above this budget for the resident coefficient array
 # (bytes). MEASURED (BENCH_FACES.json, ico levels 3-7 @512²): the resident
-# kernel wins at EVERY face count that fits — 4.5 vs 7.3 ms/view at 1,280
-# faces widening to 11.3 vs 210.9 at 81,920 (coeffs = 6.55MB) — so there
-# is no crossover to tune; streaming exists solely for meshes whose
-# coefficient array cannot fit VMEM at all (327,680 faces = 26MB). The
-# budget is the largest measured-safe residency, not a performance
-# crossover.
+# kernel wins at EVERY face count that fits — streaming exists solely for
+# meshes whose coefficient array cannot fit VMEM at all (327,680 faces =
+# 26MB). The budget is the largest measured-safe residency, not a
+# performance crossover.
 RESIDENT_COEFF_BUDGET = 7 * 1024 * 1024
 
 
 def _stream_kernel(ranges_ref, coeffs_ref, *refs, width: int,
-                   tile_pixels: int, face_chunk: int, soft: bool):
+                   tile_pixels: int, face_chunk: int, nrows: int,
+                   soft: bool):
     if soft:
         (p2f_ref, zbuf_ref, near_ref,
-         invz_scr, fid_scr, sd_scr, sid_scr) = refs
+         buf_scr, sem, invz_scr, fid_scr, sd_scr, sid_scr) = refs
     else:
-        p2f_ref, zbuf_ref, invz_scr, fid_scr = refs
+        p2f_ref, zbuf_ref, buf_scr, sem, invz_scr, fid_scr = refs
     v = pl.program_id(0)
     t = pl.program_id(1)
-    k = pl.program_id(2)
     tp = tile_pixels
 
     c_lo = ranges_ref[v, t, 0]
     c_hi = ranges_ref[v, t, 1]
-    c = jnp.minimum(c_lo + k, c_hi)
-    active = (c_lo + k) <= c_hi
+    n_sc = c_hi - c_lo + 1          # dynamic; <= 0 when nothing overlaps
 
-    @pl.when(k == 0)
-    def _():
-        invz_scr[:, :] = jnp.full((tp, 1), 0.0, jnp.float32)
-        fid_scr[:, :] = jnp.full((tp, 1), -1, jnp.int32)
-        if soft:
-            sd_scr[:, :] = jnp.full((tp, 1), -3.0e38, jnp.float32)
-            sid_scr[:, :] = jnp.full((tp, 1), 0, jnp.int32)
+    invz_scr[:, :] = jnp.full((tp, 1), 0.0, jnp.float32)
+    fid_scr[:, :] = jnp.full((tp, 1), -1, jnp.int32)
+    if soft:
+        sd_scr[:, :] = jnp.full((tp, 1), -3.0e38, jnp.float32)
+        sid_scr[:, :] = jnp.full((tp, 1), 0, jnp.int32)
 
     flat = t * tp + jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
     py = (flat // width).astype(jnp.float32)
     px = (flat % width).astype(jnp.float32)
 
-    @pl.when(active)
+    def copy(s, slot):
+        start = (c_lo + s) * face_chunk
+        return pltpu.make_async_copy(
+            coeffs_ref.at[v, :, pl.ds(start, face_chunk)],
+            buf_scr.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(n_sc > 0)
     def _():
-        blk = coeffs_ref[0, :, :]  # (nrows, fc) — this chunk's block
+        copy(0, 0).start()
+
+    def body(s, _):
+        slot = jax.lax.rem(s, 2)
+
+        @pl.when(s + 1 < n_sc)
+        def _():
+            copy(s + 1, jax.lax.rem(s + 1, 2)).start()
+
+        copy(s, slot).wait()
+        c = c_lo + s
+        blk = buf_scr[slot]         # (nrows, fc) — this chunk in VMEM
         b0 = px * blk[0:1, :] + py * blk[1:2, :] + blk[2:3, :]
         b1 = px * blk[3:4, :] + py * blk[4:5, :] + blk[5:6, :]
         b2 = px * blk[6:7, :] + py * blk[7:8, :] + blk[8:9, :]
@@ -505,17 +525,18 @@ def _stream_kernel(ranges_ref, coeffs_ref, *refs, width: int,
                 sbetter, c * face_chunk + sarg, sid_scr[:, :]
             )
             sd_scr[:, :] = jnp.maximum(sbest, smax)
+        return 0
 
-    @pl.when(k == pl.num_programs(2) - 1)
-    def _():
-        best_invz = invz_scr[:, :]
-        hit = best_invz > 0.0
-        p2f_ref[0, :, :] = jnp.where(hit, fid_scr[:, :], -1)
-        zbuf_ref[0, :, :] = jnp.where(
-            hit, 1.0 / jnp.maximum(best_invz, 1e-12), BIG_Z
-        )
-        if soft:
-            near_ref[0, :, :] = sid_scr[:, :]
+    jax.lax.fori_loop(0, n_sc, body, 0)
+
+    best_invz = invz_scr[:, :]
+    hit = best_invz > 0.0
+    p2f_ref[0, :, :] = jnp.where(hit, fid_scr[:, :], -1)
+    zbuf_ref[0, :, :] = jnp.where(
+        hit, 1.0 / jnp.maximum(best_invz, 1e-12), BIG_Z
+    )
+    if soft:
+        near_ref[0, :, :] = sid_scr[:, :]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
@@ -601,10 +622,10 @@ def _rasterize_pallas_stream_impl(
 
     kernel = functools.partial(
         _stream_kernel, width=w, tile_pixels=tile_pixels, face_chunk=fc,
-        soft=soft,
+        nrows=nrows, soft=soft,
     )
     out_block = pl.BlockSpec(
-        (1, tile_pixels, 1), lambda v, t, k, rng: (v, t, 0),
+        (1, tile_pixels, 1), lambda v, t: (v, t, 0),
         memory_space=pltpu.VMEM,
     )
     out_specs = [out_block, out_block]
@@ -613,6 +634,8 @@ def _rasterize_pallas_stream_impl(
         jax.ShapeDtypeStruct((n, h * w, 1), jnp.float32),
     ]
     scratch = [
+        pltpu.VMEM((2, nrows, fc), jnp.float32),   # DMA double buffer
+        pltpu.SemaphoreType.DMA((2,)),
         pltpu.VMEM((tile_pixels, 1), jnp.float32),
         pltpu.VMEM((tile_pixels, 1), jnp.int32),
     ]
@@ -624,25 +647,16 @@ def _rasterize_pallas_stream_impl(
             pltpu.VMEM((tile_pixels, 1), jnp.int32),
         ]
 
-    def coeff_index(v, t, k, rng):
-        # Clamped walk over this tile's chunk range; repeats at c_hi cause
-        # no reload (same block index) and their compute is pl.when-skipped.
-        return (v, 0, jnp.minimum(rng[v, t, 0] + k, rng[v, t, 1]))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n, n_tiles, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, nrows, fc), coeff_index,
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=tuple(out_specs),
-        scratch_shapes=scratch,
-    )
     outs = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # (n, n_tiles, 2)
+            pl.BlockSpec(memory_space=pl.ANY),       # coeffs stay in HBM
+        ],
+        out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(ranges, coeffs)
     p2f, zbuf = outs[0], outs[1]

@@ -217,19 +217,31 @@ def _stage_slabs(x_ref, s_ref, *, n_rows, wp, cin, hi, nb, shift):
             store_edge(v, eslot, 0, n_rows)
 
 
-def _conv_acc(x_ref, s_ref, w_ref, *, n_rows, wp, cin, shift):
-    """The 3 forward matmuls: staged slabs (K=6*2cin) + the two direct
+def _conv_acc(x_ref, s_ref, w_ref, *, n_rows, wp, cin, shift,
+              n_lo=0, n_hi=None):
+    """The forward matmuls: staged slabs (three K=2*2cin dots over slab
+    pairs — pairwise so the operand values retire between dots instead of
+    one whole-scratch load sitting on the Mosaic stack) + the two direct
     interior mid phases (rp1 py=0, rp2 py=1; off = 1+shift is always in
-    block). Returns the f32 (n_rows*wp, 4cout) accumulator (no bias)."""
+    block). ``n_lo:n_hi`` optionally restricts the output-lane range (the
+    conv1_1 backward recomputes apre per qy half to halve its peak stack).
+    Returns the f32 (n_rows*wp, n_hi-n_lo) accumulator (no bias)."""
     c2 = 2 * cin
-    p = s_ref[...].reshape(n_rows * wp, 6 * c2)
-    acc = jnp.dot(p, w_ref[0:6 * c2, :],
-                  preferred_element_type=jnp.float32)
+    if n_hi is None:
+        n_hi = w_ref.shape[1]
+    acc = jnp.zeros((n_rows * wp, n_hi - n_lo), jnp.float32)
+    for pair in range(3):                                # slab pairs
+        p = s_ref[:, :, pair * 2 * c2:(pair + 1) * 2 * c2]
+        acc = acc + jnp.dot(
+            p.reshape(n_rows * wp, 2 * c2),
+            w_ref[pair * 2 * c2:(pair + 1) * 2 * c2, n_lo:n_hi],
+            preferred_element_type=jnp.float32,
+        )
     for i, py in enumerate((0, 1)):                      # rp1, rp2
         v = x_ref[0, pl.ds(1 + shift, n_rows), py, :, :]
         acc = acc + jnp.dot(
             v.reshape(n_rows * wp, c2),
-            w_ref[(6 + i) * c2:(7 + i) * c2, :],
+            w_ref[(6 + i) * c2:(7 + i) * c2, n_lo:n_hi],
             preferred_element_type=jnp.float32,
         )
     return acc
@@ -367,19 +379,22 @@ def _c11_bwd_kernel(dz_ref, x_ref, wf_ref, w2_ref, b_ref, sym_ref, o_ref,
     shift2 = start - 1 - jnp.clip(start - 1, 0, hp - bh - 4)
     _stage_slabs(x_ref, s_ref, n_rows=rows, wp=wp, cin=cin, hi=hi, nb=nb,
                  shift=shift2)
-    apre = _conv_acc(x_ref, s_ref, wf_ref, n_rows=rows, wp=wp, cin=cin,
-                     shift=shift2)
-    apre = apre + b_ref[0].astype(jnp.float32)
-    y = apre.astype(dz_ref.dtype)
     _zero_fold_guards(dacc_ref, rows, wp, c4)
+    # Per qy half: recompute apre for the half's 2cout output lanes only —
+    # the full-width (rows*wp, 4cout) f32 value was the Mosaic STACK item
+    # that blew the 16MB scope at 768²+ (first on-device run of v3).
     for qy in range(2):
-        half = slice(qy * 2 * cout, (qy + 1) * 2 * cout)
-        mask = (apre[:, half] > 0).astype(jnp.float32)
+        apre = _conv_acc(x_ref, s_ref, wf_ref, n_rows=rows, wp=wp,
+                         cin=cin, shift=shift2,
+                         n_lo=qy * 2 * cout, n_hi=(qy + 1) * 2 * cout)
+        apre = apre + b_ref[0, qy * 2 * cout:(qy + 1) * 2 * cout
+                            ].astype(jnp.float32)
+        mask = (apre > 0).astype(jnp.float32)
         dz_q = dz_ref[0, :, qy, :, :].reshape(rows * wp, 2 * cout)
         d = dz_q.astype(jnp.float32) * mask
-        gs = [jnp.dot(y[:, (qy * 2 + qx) * cout:(qy * 2 + qx + 1) * cout
-                        ].astype(jnp.float32), sym_ref[0],
-                      preferred_element_type=jnp.float32)
+        y = apre.astype(dz_ref.dtype)           # rounded pre-relu tap
+        gs = [jnp.dot(y[:, qx * cout:(qx + 1) * cout].astype(jnp.float32),
+                      sym_ref[0], preferred_element_type=jnp.float32)
               for qx in range(2)]
         d = d + jnp.concatenate(gs, axis=-1)
         dacc_ref[1:rows + 1, 1:wp + 1, qy * 2 * cout:(qy + 1) * 2 * cout
@@ -395,35 +410,52 @@ def _c11_bwd_kernel(dz_ref, x_ref, wf_ref, w2_ref, b_ref, sym_ref, o_ref,
 # (wp, dtype) WILL OOM at another)
 # ---------------------------------------------------------------------------
 
-_VMEM_BUDGET = 10 << 20          # leave headroom under Mosaic's 16MB scope
+# Mosaic's scoped-VMEM limit is 16MB shared by scratch, double-buffered
+# in/out blocks AND stack temporaries (big live VALUES like f32
+# accumulators). The first on-device v3 run proved the stack matters: the
+# conv1_1 bwd modeled at 7.5M measured 16.71M (OOM) — the estimators below
+# therefore include block and dominant-stack terms plus a safety factor,
+# and the ladder check anchors them per rung.
+_VMEM_BUDGET = 15 << 20
+_STACK_FACTOR = 1.2
 
 
 def _lanes(c):
-    return max(c, 128)           # scratch lanes pad to the 128 tile
+    return max(c, 128)           # VMEM lanes pad to the 128 tile
 
 
 def _fwd_vmem(bh, wp, cin, cout4, itemsize):
     s = bh * wp * _lanes(6 * 2 * cin) * itemsize
-    acc = bh * wp * cout4 * 4
+    acc = bh * wp * cout4 * 4                       # f32 accumulator
+    slab = bh * wp * _lanes(4 * cin) * itemsize     # pairwise dot operand
+    epi = 2 * bh * wp * _lanes(cout4 // 4) * 4      # pool/gram temps
     xblk = 2 * (bh + 2) * 2 * wp * _lanes(2 * cin) * itemsize
-    return s + acc + xblk
+    oblk = 2 * bh * 2 * wp * 128 * itemsize
+    return _STACK_FACTOR * (s + acc + slab + epi + xblk + oblk)
 
 
 def _c12_bwd_vmem(bh, wp, cout, itemsize):
     rows = bh + 2
     dacc = (bh + 4) * (wp + 2) * 4 * cout * itemsize
     blks = 2 * 3 * rows * wp * _lanes(cout) * itemsize
-    accs = 2 * bh * wp * _lanes(2 * 64) * 4
-    return dacc + blks + accs
+    oblk = 2 * bh * 2 * wp * 128 * itemsize
+    accs = 2 * bh * wp * 128 * 4                    # fold f32 accumulators
+    v = bh * wp * 4 * cout * itemsize               # fold read operand
+    route = rows * wp * _lanes(cout) * 4            # d_all f32
+    return _STACK_FACTOR * (dacc + blks + oblk + accs + v + route)
 
 
 def _c11_bwd_vmem(bh, wp, cin, cout, itemsize):
     rows = bh + 2
     s = rows * wp * _lanes(6 * 2 * cin) * itemsize
-    apre = rows * wp * 4 * cout * 4
+    stackq = 3 * rows * wp * _lanes(2 * cout) * 4   # apre/mask/d per qy
     dacc = (bh + 4) * (wp + 2) * 4 * cout * itemsize
     dzblk = 2 * rows * 2 * wp * _lanes(2 * cout) * itemsize
-    return s + apre + dacc + dzblk
+    xblk = 2 * (bh + 4) * 2 * wp * _lanes(2 * cin) * itemsize
+    oblk = 2 * bh * 2 * wp * _lanes(2 * cin) * itemsize
+    accs = 2 * bh * wp * 128 * 4 + bh * wp * 4 * cout * itemsize
+    return _STACK_FACTOR * (s + stackq + dacc + dzblk + xblk + oblk
+                            + accs)
 
 
 def _pick_bh(hp, fits):
