@@ -59,21 +59,37 @@ def main() -> int:
                 + 1e-6 * jnp.sum(g64))
 
     def bench_one(fn, x, ws, iters):
-        f = jax.jit(fn)
-        g = jax.jit(jax.grad(fn))
+        # Chain iterations through the carry inside ONE jitted scan: each
+        # step consumes the previous step's output, so nothing can be
+        # elided, reordered, or satisfied from a cache — the first version
+        # of this script timed 30 independent dispatches of identical args
+        # and measured 0.02ms "per kernel call" (impossible; artifact of
+        # the tunneled dispatch path).
+        def fwd_scan(x0):
+            def step(c, _):
+                loss = fn(c, *ws)
+                return (c * (1.0 + 0.0 * loss)).astype(c.dtype), loss
+            c, losses = jax.lax.scan(step, x0, None, length=iters)
+            return losses[-1] + 0.0 * jnp.sum(c[0, 0, 0])
+
+        def gscan(x0):
+            gfn = jax.grad(fn)
+            def step(c, _):
+                gv = gfn(c, *ws)
+                return c + 0.0 * gv, jnp.sum(gv[0, 0, 0])
+            c, s = jax.lax.scan(step, x0, None, length=iters)
+            return s[-1] + 0.0 * jnp.sum(c[0, 0, 0])
+
         out = {}
-        f(x, *ws).block_until_ready()
+        f = jax.jit(fwd_scan)
+        jax.block_until_ready(f(x))
         t0 = time.time()
-        for _ in range(iters):
-            r = f(x, *ws)
-        r.block_until_ready()
+        jax.block_until_ready(f(x))
         out["fwd_ms"] = (time.time() - t0) / iters * 1e3
-        gv = g(x, *ws)
-        jax.block_until_ready(gv)
+        g = jax.jit(gscan)
+        jax.block_until_ready(g(x))
         t0 = time.time()
-        for _ in range(iters):
-            gv = g(x, *ws)
-        jax.block_until_ready(gv)
+        jax.block_until_ready(g(x))
         out["fwdbwd_ms"] = (time.time() - t0) / iters * 1e3
         return out
 

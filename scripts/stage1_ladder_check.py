@@ -22,19 +22,7 @@ import jax.numpy as jnp
 
 
 def main() -> int:
-    if "--v2" in sys.argv:
-        from st3d.kernels.stage1_pallas import (
-            conv1_1_packed,
-            conv1_2_packed_pool,
-            stage1_supported,
-        )
-
-        def loss_of(xx, w1, b1, w2, b2):
-            z5, g48, s48 = conv1_1_packed(xx, w1, b1)
-            p, _ = conv1_2_packed_pool(z5, w2, b2)
-            return (jnp.sum(p.astype(jnp.float32) ** 2)
-                    + 1e-6 * jnp.sum(g48) + 1e-6 * jnp.sum(s48))
-    else:                                    # v3 (the default kernels)
+    if "--v3" in sys.argv:                   # opt-in kernels (ST3D_STAGE1=v3)
         from st3d.kernels.stage1v3_pallas import (
             conv1_1_packed_v3 as conv1_1_packed,
             conv1_2_packed_pool_v3 as conv1_2_packed_pool,
@@ -46,6 +34,18 @@ def main() -> int:
             p, _ = conv1_2_packed_pool(z5, w2, b2)
             return (jnp.sum(p.astype(jnp.float32) ** 2)
                     + 1e-6 * jnp.sum(g64))
+    else:                                    # v2 (the default kernels)
+        from st3d.kernels.stage1_pallas import (
+            conv1_1_packed,
+            conv1_2_packed_pool,
+            stage1_supported,
+        )
+
+        def loss_of(xx, w1, b1, w2, b2):
+            z5, g48, s48 = conv1_1_packed(xx, w1, b1)
+            p, _ = conv1_2_packed_pool(z5, w2, b2)
+            return (jnp.sum(p.astype(jnp.float32) ** 2)
+                    + 1e-6 * jnp.sum(g48) + 1e-6 * jnp.sum(s48))
 
     key = jax.random.PRNGKey(3)
     ok = True
@@ -58,7 +58,14 @@ def main() -> int:
         w2 = (jax.random.normal(jax.random.fold_in(key, 2), (3, 3, 64, 64),
                                 jnp.float32) * 0.05).astype(dtype)
         b2 = jnp.zeros((64,), dtype)
-        assert stage1_supported(x, dtype), (size, dtype)
+        if not stage1_supported(x, dtype):
+            # Not a failure: vgg.get_features routes unsupported shapes to
+            # the other stage-1 variant (v3 gate miss -> v2, and vice
+            # versa); this line documents which rungs ride the fallback.
+            print(f"[{size}^2 {jnp.dtype(dtype).name}] UNSUPPORTED "
+                  "(banding gate) -> falls back to the other variant",
+                  flush=True)
+            continue
 
         def loss(xx):
             return loss_of(xx, w1, b1, w2, b2)

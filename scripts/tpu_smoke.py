@@ -466,6 +466,66 @@ def main() -> int:
         f"{frac_moved:.2e} (compile+run {time.time() - t0:.0f}s)",
     )
 
+    # --- 7b. stage-1 v3 (stage1v3_pallas, opt-in via ST3D_STAGE1=v3;
+    # v2 stayed default after the round-5 A/B measured v3 slower) --------
+    # Same discipline as check 7: bf16 fwd values vs the XLA chain, the
+    # direct g64 Gram vs gramming the tap, and the f32 full-chain input
+    # gradient (INCLUDING a Gram cotangent — the in-kernel y@sym path)
+    # vs autodiff of the jnp reference.
+    from st3d.kernels.stage1v3_pallas import (
+        _conv1_1_v3_ref,
+        conv1_1_packed_v3,
+        conv1_2_packed_pool_v3,
+        stage1_v3_supported,
+    )
+
+    t0 = time.time()
+    assert stage1_v3_supported(xc) and stage1_v3_supported(xf)
+
+    @jax.jit
+    def s1v3_fwd(xx):
+        z5, g64 = conv1_1_packed_v3(xx, w1, b1)
+        p, _ = conv1_2_packed_pool_v3(z5, w2, b2)
+        return p, g64, unpack_output5(z5)
+
+    p_s3, g_s3, y1_s3 = s1v3_fwd(xc)
+    d3_y1 = float(jnp.max(jnp.abs(
+        y1_s3.astype(jnp.float32) - y1.astype(jnp.float32))))
+    d3_p = float(jnp.max(jnp.abs(
+        p_s3.astype(jnp.float32) - p_ref.astype(jnp.float32))))
+    # v3's g64 grams the ROUNDED pre-relu tap (same rounding as the tap
+    # route) — compare against the bf16 tap's gram, not the f32 one.
+    g_ref_b = jnp.einsum(
+        "bhwc,bhwd->bcd",
+        tap.astype(jnp.float32), tap.astype(jnp.float32))
+    d3_g = float(jnp.max(jnp.abs(g_s3 - g_ref_b))
+                 / max(float(jnp.max(jnp.abs(g_ref_b))), 1e-9))
+    ctg = jax.random.normal(jax.random.fold_in(key, 6), g_s3.shape,
+                            jnp.float32) * 1e-3
+
+    def loss_v3(xx):
+        z5, g64 = conv1_1_packed_v3(xx, w1f, b1f)
+        p, _ = conv1_2_packed_pool_v3(z5, w2f, b2f)
+        return jnp.sum(p * wgt) + jnp.sum(g64 * ctg)
+
+    def loss_v3_ref(xx):
+        z5, g64 = _conv1_1_v3_ref(xx, w1f, b1f)
+        return (jnp.sum(_conv1_2_ref(z5, w2f, b2f) * wgt)
+                + jnp.sum(g64 * ctg))
+
+    g3_k = jax.jit(jax.grad(loss_v3))(xf)
+    g3_r = jax.jit(jax.grad(loss_v3_ref))(xf)
+    dabs3 = jnp.abs(g3_k - g3_r)
+    g3scale = max(float(jnp.max(jnp.abs(g3_r))), 1e-9)
+    frac3 = float(jnp.mean((dabs3 > 1e-4 * g3scale).astype(jnp.float32)))
+    record(
+        "stage1_v3_512",
+        d3_y1 <= 0.25 and d3_p <= 0.5 and d3_g <= 0.02 and frac3 <= 1e-3,
+        f"conv1_1 max|d|={d3_y1:.3g} pooled max|d|={d3_p:.3g} "
+        f"gram rel|d|={d3_g:.3g} f32 bwd (incl dG64) frac moved="
+        f"{frac3:.2e} (compile+run {time.time() - t0:.0f}s)",
+    )
+
     # --- 8. fused conv+Gram at the DEEP style-tap shapes ----------------
     # conv2_1's fused Gram has been in production since round 3 (512²-input
     # shape); the deep fused Grams (conv3_1/conv4_1/conv5_1 through the same

@@ -565,6 +565,12 @@ def _rasterize_pallas_stream_impl(
     f_pad = n_chunks * fc
     margin = soft_margin_px if soft else 0.0
     nrows = 19 if soft else 12
+    # The in-kernel DMA slices the (nrows, f_pad) coefficient memref along
+    # the sublane dim; Mosaic requires that slice 8-aligned ("Slice shape
+    # along dimension 1 must be aligned to tiling (8)"), so stream whole
+    # 8-row tiles: 16 rows for the hard path (rows 12-15 are the unused
+    # soft metric rows — free ride), 24 for soft (20 real + 4 zero rows).
+    nrows_dma = -(-nrows // 8) * 8
 
     def preprocess(fv):
         zs = fv[:, :, 2]
@@ -616,7 +622,13 @@ def _rasterize_pallas_stream_impl(
         c_lo = jnp.where(any_overlap, first, 1)
         c_hi = jnp.where(any_overlap, last, 0)
         ranges = jnp.stack([c_lo, c_hi], axis=1)  # (n_tiles, 2)
-        return coeffs[:nrows], ranges, order
+        if nrows_dma <= coeffs.shape[0]:
+            c_out = coeffs[:nrows_dma]
+        else:
+            c_out = jnp.concatenate(
+                [coeffs, jnp.zeros((nrows_dma - coeffs.shape[0], f_pad),
+                                   coeffs.dtype)], axis=0)
+        return c_out, ranges, order
 
     coeffs, ranges, order = jax.vmap(preprocess)(face_verts)
 
@@ -634,7 +646,7 @@ def _rasterize_pallas_stream_impl(
         jax.ShapeDtypeStruct((n, h * w, 1), jnp.float32),
     ]
     scratch = [
-        pltpu.VMEM((2, nrows, fc), jnp.float32),   # DMA double buffer
+        pltpu.VMEM((2, nrows_dma, fc), jnp.float32),  # DMA double buffer
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.VMEM((tile_pixels, 1), jnp.float32),
         pltpu.VMEM((tile_pixels, 1), jnp.int32),

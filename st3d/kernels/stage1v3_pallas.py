@@ -41,8 +41,10 @@ vector compare).
 
 Replaces the capability of the reference's first two VGG feature layers
 (style_transfer.py:10-27, torchvision modules 0-4). Gated by
-st3d.models.vgg (default when supported; ST3D_STAGE1=v2 reverts to the v2
-kernels, ST3D_NO_STAGE1_V2 disables both).
+st3d.models.vgg (OPT-IN via ST3D_STAGE1=v3; the round-5 full-step A/B
+measured v3 at 40.9 vs v2's 45.0 it/s @512² bf16 — the conv1_1 backward
+fold pays full 128-lane MXU cost for 6 useful lanes — so v2 stays the
+default. ST3D_NO_STAGE1_V2 disables both).
 """
 
 from __future__ import annotations

@@ -342,16 +342,17 @@ def get_features(
             # unpacked (B,H,W,64) form never exists); conv1_2+pool1 consume
             # it with zero XLA glue — kills the pad/reshape/slice ops
             # around the round-3 packed conv1_2 AND the conv1_1 im2col
-            # chain (~4-6ms/step at 512², PERF_NOTES round 4). v3 (default
-            # since round 5) adds lane-aligned staging + matmul-based
-            # backward folds and replaces the quad-patch Gram stats with
-            # the direct 64x64 pre-relu output Gram — the round-5 trace
-            # showed the v2 kernels at 5.0ms/step vs a ~1.5ms roofline at
-            # 512². ST3D_STAGE1=v2 reverts to the v2 kernels for A/B.
+            # chain (~4-6ms/step at 512², PERF_NOTES round 4). v3 adds
+            # lane-aligned staging + matmul-based backward folds and a
+            # direct 64x64 pre-relu output Gram, but the round-5 full-step
+            # A/B measured it SLOWER (40.9 vs 45.0 it/s @512² bf16 — the
+            # conv1_1 backward fold pays full 128-lane MXU cost for 6
+            # useful lanes), so v2 stays the default; ST3D_STAGE1=v3 opts
+            # into the v3 kernels for A/B.
             from st3d.kernels.stage1v3_pallas import stage1_v3_supported
 
             bsz, h, wd, _ = x.shape
-            use_v3 = (os.environ.get("ST3D_STAGE1") != "v2"
+            use_v3 = (os.environ.get("ST3D_STAGE1") == "v3"
                       and stage1_v3_supported(x))
             if use_v3:
                 from st3d.kernels.stage1v3_pallas import (

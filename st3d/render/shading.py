@@ -201,6 +201,16 @@ def _planned_bwd(res, ct):
         [ct * w00[..., None], ct * w01[..., None],
          ct * w10[..., None], ct * w11[..., None]], axis=-1)
     flat = ctq.reshape((-1, 12))
+    if os.environ.get("ST3D_TREE_BARRIER"):
+        # Layout-assignment experiment: at 768² XLA flips the ctq build's
+        # output layout to column-major ({0,1}) to suit the level-1 gather,
+        # making the elementwise build write strided — 4.2ms vs the 0.47ms
+        # row-major build at 512² (round-5 trace, fusion.243). The barrier
+        # decouples producer and gather layouts. MEASURED NEUTRAL in the
+        # isolated tree micro (tree 9.174ms vs barrier 9.173ms @768²,
+        # scripts/tree_micro.py) — the strided write cost moves, it does
+        # not disappear. Kept off-by-default as a layout A/B hook.
+        flat = jax.lax.optimization_barrier(flat)
     if tree is not None and not os.environ.get("ST3D_NO_PLAN_TREE"):
         # Scatter-free padded tree reduction (see the docstring). Each
         # level gathers from the previous level's output (+ appended zero

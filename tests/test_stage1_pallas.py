@@ -210,7 +210,7 @@ def test_get_features_stage1_v2_matches_default(monkeypatch):
     g_ref = jax.grad(loss)(x)   # BEFORE the gates are patched
 
     monkeypatch.setenv("ST3D_STAGE1_V2", "1")
-    monkeypatch.setenv("ST3D_STAGE1", "v2")   # pin v2 (v3 is the default)
+    monkeypatch.setenv("ST3D_STAGE1", "v2")   # explicit; v2 is the default
     monkeypatch.setattr(vggmod, "_pallas_conv_ok", lambda _x: True)
     monkeypatch.setattr(
         vggmod, "_pallas_convs", lambda: frozenset(range(0, 2))

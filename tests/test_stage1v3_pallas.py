@@ -182,8 +182,7 @@ def test_v3_get_features_matches_default(monkeypatch):
 
     g_ref = jax.grad(loss)(x)   # BEFORE the gates are patched
 
-    monkeypatch.setenv("ST3D_STAGE1_V2", "1")
-    monkeypatch.delenv("ST3D_STAGE1", raising=False)
+    monkeypatch.setenv("ST3D_STAGE1", "v3")   # v3 is opt-in since r5
     monkeypatch.setattr(vggmod, "_pallas_conv_ok", lambda _x: True)
     monkeypatch.setattr(
         vggmod, "_pallas_convs", lambda: frozenset(range(0, 2))
