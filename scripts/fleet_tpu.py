@@ -42,6 +42,10 @@ def main() -> int:
     from st3d.utils.compilecache import enable_compilation_cache
 
     enable_compilation_cache()
+    # The axon tunnel exposes no device.memory_stats(); have the engine
+    # AOT-compile the step and record XLA's memory analysis instead
+    # (fleetbatch writes <output_path>/xla_mem.json).
+    os.environ.setdefault("ST3D_FLEET_MEMLOWER", "1")
 
     sub_dir = "/tmp/fleet_sub"
     os.makedirs(sub_dir, exist_ok=True)
@@ -103,6 +107,12 @@ def main() -> int:
     except Exception as e:
         print(f"memory_stats unavailable: {e}", file=sys.stderr)
 
+    xla_mem = None
+    mem_path = os.path.join(args.output_path, "xla_mem.json")
+    if os.path.isfile(mem_path):
+        with open(mem_path) as f:
+            xla_mem = json.load(f)
+
     res = {
         "workload": (f"fleet batched: 4 meshes x 5 styles, "
                      f"{args.n_views} views @{args.size}^2, bf16, "
@@ -115,6 +125,7 @@ def main() -> int:
         "per_cell_final": per_cell,
         "losses_finite": bool(finite),
         "peak_hbm": hbm,
+        "xla_memory_analysis": xla_mem,
         "substitutions": "bunny->ico_sphere(level=4); Style_2->Content.jpg",
     }
     with open(args.out, "w") as f:

@@ -419,7 +419,16 @@ def _c11_bwd_kernel(dz_ref, x_ref, wf_ref, w2_ref, b_ref, sym_ref, o_ref,
 # therefore include block and dominant-stack terms plus a safety factor,
 # and the ladder check anchors them per rung.
 _VMEM_BUDGET = 15 << 20
+# f32 rungs hold larger multi-pass MXU temporaries than the estimators
+# model (the 512² f32 c12-bwd measured 16.03M against a 15M
+# estimate-budget — 32K over the 16M hard limit). Budget f32 rungs lower
+# so they band smaller.
+_VMEM_BUDGET_F32 = 13 << 20
 _STACK_FACTOR = 1.2
+
+
+def _budget(itemsize):
+    return _VMEM_BUDGET_F32 if itemsize >= 4 else _VMEM_BUDGET
 
 
 def _lanes(c):
@@ -472,19 +481,19 @@ def _pick_bh(hp, fits):
 def _bh_fwd(hp, wp, cin, cout4, itemsize):
     return _pick_bh(
         hp, lambda bh: _fwd_vmem(bh, wp, cin, cout4, itemsize)
-        <= _VMEM_BUDGET)
+        <= _budget(itemsize))
 
 
 def _bh_c12_bwd(hp, wp, cout, itemsize):
     return _pick_bh(
         hp, lambda bh: _c12_bwd_vmem(bh, wp, cout, itemsize)
-        <= _VMEM_BUDGET)
+        <= _budget(itemsize))
 
 
 def _bh_c11_bwd(hp, wp, cin, cout, itemsize):
     return _pick_bh(
         hp, lambda bh: _c11_bwd_vmem(bh, wp, cin, cout, itemsize)
-        <= _VMEM_BUDGET)
+        <= _budget(itemsize))
 
 
 def stage1_v3_supported(x, dtype=None) -> bool:

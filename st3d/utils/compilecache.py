@@ -33,7 +33,18 @@ def host_cpu_fingerprint() -> str:
     execution errors such as SIGILL" warning (seen in MULTICHIP_r04's
     dryrun tail, VERDICT r4 item 2). Both on-disk caches scope their CPU
     entries by this fingerprint so a foreign-host entry is a clean MISS,
-    never a feature-mismatched load."""
+    never a feature-mismatched load.
+
+    Known upstream false positive (measured round 5, same host writing and
+    reloading an entry minutes apart): XLA:CPU embeds its own synthetic
+    tuning knobs (``+prefer-no-gather``/``+prefer-no-scatter``) as target
+    "features" in the AOT result, but its load-time host probe only
+    reports real cpuinfo features, so EVERY cached XLA:CPU reload logs the
+    "could lead to execution errors such as SIGILL" warning — including
+    reloads of entries this very host just compiled. The fingerprint
+    scoping guarantees the real ISA features match; the warning on a
+    host-scoped entry is noise. The multichip dryrun artifact stays clean
+    by running cache-free (see __graft_entry__.py)."""
     import platform
 
     feats = ""
