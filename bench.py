@@ -114,12 +114,24 @@ def build_step(dtype_name: str = "bfloat16", gram1: bool = True):
         lambda m, c: precompute_visibility(m, c, settings), (mesh, cams),
         "prep_vis"), texture_shape=mesh.texture.shape)
 
+    fused_bg = bool(os.environ.get("ST3D_FUSED_BG"))
+
     def loss_fn(p):
         # NHWC end-to-end: rgba straight from the static shade into VGG.
         # gram1: conv1_1's Gram comes algebraically from the im2col patches
         # (the tap is never exported; ST3D_NO_GRAM1 env reverts for A/B).
-        rgba = render_rgba_static(apply_params(mesh, p), vis, settings)
-        feats = get_features(rgba[..., :3], vgg, dtype=dtype,
+        if fused_bg:
+            # A/B candidate (VERDICT r4 item 1b): white background
+            # composited inside the compact scatter — the rgba concat and
+            # the [..., :3] slice never exist (bit-equal values).
+            from st3d.render.renderer import render_composited_static
+
+            rgb = render_composited_static(apply_params(mesh, p), vis,
+                                           settings)
+        else:
+            rgba = render_rgba_static(apply_params(mesh, p), vis, settings)
+            rgb = rgba[..., :3]
+        feats = get_features(rgb, vgg, dtype=dtype,
                              layout="NHWC", input_layout="NHWC", gram1=gram1)
         return style_content_loss(feats, targets, 1e6, 1.0, layout="NHWC")
 

@@ -551,13 +551,43 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
             dp_loss_fn, optimizer, dev_mesh, has_aux=True
         )
 
+    fused_bg = bool(os.environ.get("ST3D_FUSED_BG"))
+
     def _epoch_step_impl(p, st, rng, cams_b, style_b, content_imgs,
                          content_masks, targets, vis):
         rng, r1, r2 = jax.random.split(rng, 3)
 
         def loss_fn(p):
             mesh = apply_params(content_mesh, p)
-            if vis is not None:
+            if vis is not None and fused_bg and "chunk_idx" in vis:
+                # A/B candidate (VERDICT r4 item 1b): composite the
+                # background INSIDE the compact scatter — the rgba frame,
+                # its alpha compare, and the full-frame blend never exist.
+                # Bit-equal to the branch below: the window list is the
+                # mask, and the noise keeps apply_background's exact RNG
+                # stream (generated at (B,H,W,3), then flattened).
+                from st3d.render.renderer import render_composited_static
+                from st3d.render.shading import flatten_background
+
+                k = vis["uv_cov"].shape[-2]
+                if cfg.current_background == "white":
+                    cur = render_composited_static(mesh, vis, settings)
+                else:
+                    if cfg.current_background == "noise":
+                        bgf = jax.random.uniform(
+                            r1, vis["mask"].shape + (3,),
+                            mesh.texture.dtype)
+                    else:                                   # style
+                        bgf = jnp.transpose(style_b, (0, 2, 3, 1))
+                    cur = render_composited_static(
+                        mesh, vis, settings,
+                        background_flat=flatten_background(bgf, k))
+                cur_feats = get_features(cur, vgg, dtype=dtype,
+                                         layout="NHWC",
+                                         input_layout="NHWC", gram1=True)
+                if cfg.save_intermediate:
+                    cur = jnp.transpose(cur, (0, 3, 1, 2))  # aux is NCHW
+            elif vis is not None:
                 # NHWC end-to-end on the static path: rgba straight into
                 # VGG (the NCHW round trip forced a channel-major layout
                 # onto the frame-assembly scatter — profiler-measured as

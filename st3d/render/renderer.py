@@ -393,6 +393,34 @@ def render_rgba_static(
     )(fv, vis["p2f"])
 
 
+def render_composited_static(
+    mesh: Mesh,
+    vis,
+    settings: RasterizationSettings,
+    background_flat: jnp.ndarray = None,
+    background_color: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+) -> jnp.ndarray:
+    """Background-composited RGB (N, H, W, 3) straight from the compact
+    static-visibility scatter — no alpha channel, no full-frame blend
+    (``shading.shade_compact_rgb``). Bit-equal to
+    ``apply_background(render_rgba_static(...)[..., :3], mask, ...)``;
+    requires compact visibility (``compact_visibility`` output)."""
+    if "chunk_idx" not in vis:
+        raise ValueError(
+            "render_composited_static requires compact visibility "
+            "(a vis dict from compact_visibility); got the raw "
+            "precompute_visibility pytree"
+        )
+    from st3d.render.shading import shade_compact_rgb
+
+    h, w = vis["mask"].shape[-2], vis["mask"].shape[-1]
+    return shade_compact_rgb(
+        mesh.texture, vis["chunk_idx"], vis["uv_cov"], vis["cov8"],
+        (h, w), background_flat=background_flat,
+        background_color=background_color, plan=vis.get("plan"),
+    )
+
+
 def render_meshes_static(
     mesh: Mesh,
     vis,

@@ -373,6 +373,92 @@ def shade_compact(
     return jnp.concatenate([rgb, alpha], axis=-1)
 
 
+def shade_compact_rgb(
+    texture: jnp.ndarray,         # (Ht, Wt, 3)
+    chunk_idx: jnp.ndarray,       # (..., C) int32 aligned window ids
+    uv_cov: jnp.ndarray,          # (..., C, K, 2) UVs of the window pixels
+    cov8: jnp.ndarray,            # (..., C, K) bool per-pixel coverage
+    hw: Tuple[int, int],
+    background_flat: jnp.ndarray = None,  # (..., H*W/K + 1, K*3)
+    background_color: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    plan=None,
+) -> jnp.ndarray:
+    """Composited RGB (..., H, W, 3): ``shade_compact``'s covered windows
+    scattered ONTO the background, with no alpha channel.
+
+    The window list IS the coverage mask, so
+    ``apply_background(shade_compact(...)[..., :3], mask, ...)`` computes
+    the same frame while materializing (and relaying out) the full frame
+    several extra times per step: the rgba concat, the ``[..., :3]`` /
+    alpha slices, the ``alpha > 0`` compare, and the full-frame blend.
+    This entry point replaces all of them with the one scatter the
+    compact path already does (VERDICT r4 item 1b: frame-assembly
+    formatting). Values are bit-equal: for a binary mask the reference
+    blend ``rgb*mask + bg*(1-mask)`` (engine/background.py) selects
+    exactly, and uncovered pixels inside covered windows take the
+    background row gathered at the window's own index.
+
+    ``background_flat`` is the background frame in the scatter's own flat
+    window layout — ``frame.reshape(..., H*W//K, K*3)`` plus ONE trailing
+    trash row for the pad slots (see ``flatten_background``). Per-step
+    noise backgrounds should be GENERATED in this shape (no reshape ever
+    exists). When it is None, ``background_color`` fills the frame (the
+    white-background / bench path — no gather needed).
+    """
+    if plan is not None:
+        rgb_cov = sample_covered_planned(
+            texture, plan["idx"], plan["fx"], plan["fy"],
+            plan["perm"], plan["segids"], plan.get("tree"),
+        )
+    else:
+        rgb_cov = sample_texture(texture, uv_cov)      # (..., C, K, 3)
+    h, w = hw
+    k = uv_cov.shape[-2]
+    unique = bool(os.environ.get("ST3D_SCATTER_UNIQUE"))
+
+    def one_view(idx_v, rgb_v, cov_v, bg_v):
+        if bg_v is None:
+            bgc = jnp.asarray(background_color, rgb_v.dtype)
+            flat = jnp.broadcast_to(jnp.tile(bgc, k),
+                                    (h * w // k + 1, k * 3))
+            rows = jnp.where(cov_v[..., None], rgb_v, bgc)
+        else:
+            flat = bg_v
+            rows = jnp.where(
+                cov_v[..., None], rgb_v,
+                flat[idx_v].reshape(idx_v.shape[0], k, 3))
+        flat = flat.at[idx_v].set(
+            rows.reshape(rows.shape[0], k * 3),
+            unique_indices=unique, indices_are_sorted=True,
+        )
+        return flat[:-1].reshape(h, w, 3)
+
+    lead = chunk_idx.shape[:-1]
+    idx_f = chunk_idx.reshape((-1,) + chunk_idx.shape[-1:])
+    rgb_f = rgb_cov.reshape((-1,) + rgb_cov.shape[-3:])
+    cov_f = cov8.reshape((-1,) + cov8.shape[-2:])
+    if background_flat is None:
+        rgb = jax.vmap(lambda i, r, c: one_view(i, r, c, None))(
+            idx_f, rgb_f, cov_f)
+    else:
+        rgb = jax.vmap(one_view)(
+            idx_f, rgb_f, cov_f,
+            background_flat.reshape((-1,) + background_flat.shape[-2:]))
+    return rgb.reshape(lead + (h, w, 3))
+
+
+def flatten_background(frame: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(..., H, W, 3) -> (..., H*W/K + 1, K*3): a background frame in
+    ``shade_compact_rgb``'s flat window layout (pure row-major reshape)
+    plus the trailing trash row the pad slots land in. Meant for HOISTED
+    constants (style/content backgrounds) — per-step noise should be
+    generated directly in the flat shape instead."""
+    h, w = frame.shape[-3], frame.shape[-2]
+    flat = frame.reshape(frame.shape[:-3] + (h * w // k, k * 3))
+    pad = jnp.zeros(flat.shape[:-2] + (1, k * 3), flat.dtype)
+    return jnp.concatenate([flat, pad], axis=-2)
+
+
 def shade_textured(
     face_verts: jnp.ndarray,      # (F, 3, 3) screen verts (differentiable)
     pix_to_face: jnp.ndarray,     # (H, W)

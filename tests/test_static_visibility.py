@@ -189,3 +189,69 @@ def test_static_matches_dynamic_cow():
     dyn = jax.jit(lambda m: render_rgba(m, cams, settings))(mesh)
     sta = jax.jit(lambda m: render_rgba_static(m, vis, settings))(mesh)
     np.testing.assert_allclose(np.asarray(sta), np.asarray(dyn), atol=1e-6)
+
+
+@pytest.mark.parametrize("bg_mode", ["white", "noise", "style"])
+def test_composited_static_matches_blend(bg_mode):
+    """The fused background composite (windows scattered ONTO the
+    background frame, no alpha channel — shade_compact_rgb) is bit-exact
+    vs apply_background over the rgba static render, values AND texture
+    gradients, for all three reference background modes."""
+    from st3d.engine.background import apply_background
+    from st3d.render.renderer import (
+        compact_visibility,
+        render_composited_static,
+    )
+    from st3d.render.shading import flatten_background
+
+    mesh = _tilted_quad()
+    cams = build_fixed_cameras(2, shuffle=False)
+    settings = _settings("hard")
+    vis = jax.jit(lambda m: precompute_visibility(m, cams, settings))(mesh)
+    cvis = compact_visibility(vis, texture_shape=mesh.texture.shape)
+    k = cvis["uv_cov"].shape[-2]
+    rng = jax.random.PRNGKey(11)
+    style = jax.random.uniform(
+        jax.random.fold_in(rng, 1),
+        cvis["mask"].shape + (3,), mesh.texture.dtype)
+
+    def reference(tex):
+        rgba = render_rgba_static(
+            mesh.replace(texture=tex), cvis, settings)
+        rgb = rgba[..., :3]
+        m = (rgba[..., 3:4] > 0).astype(rgb.dtype)
+        # apply_background is NCHW; the static hot path blends in NHWC
+        # with the same arithmetic — reproduce it directly.
+        if bg_mode == "white":
+            return rgb
+        if bg_mode == "noise":
+            bg = jax.random.uniform(rng, rgb.shape, rgb.dtype)
+        else:
+            bg = style
+        return rgb * m + bg * (1.0 - m)
+
+    def fused(tex):
+        if bg_mode == "white":
+            return render_composited_static(
+                mesh.replace(texture=tex), cvis, settings)
+        if bg_mode == "noise":
+            bg = jax.random.uniform(
+                rng, cvis["mask"].shape + (3,), mesh.texture.dtype)
+        else:
+            bg = style
+        return render_composited_static(
+            mesh.replace(texture=tex), cvis, settings,
+            background_flat=flatten_background(bg, k))
+
+    ref = jax.jit(reference)(mesh.texture)
+    fus = jax.jit(fused)(mesh.texture)
+    np.testing.assert_array_equal(np.asarray(fus), np.asarray(ref))
+    assert fus.shape == cvis["mask"].shape + (3,)
+
+    tgt = jax.random.uniform(jax.random.fold_in(rng, 2), ref.shape)
+    g_ref = jax.jit(jax.grad(
+        lambda t: jnp.sum((reference(t) - tgt) ** 2)))(mesh.texture)
+    g_fus = jax.jit(jax.grad(
+        lambda t: jnp.sum((fused(t) - tgt) ** 2)))(mesh.texture)
+    np.testing.assert_array_equal(np.asarray(g_fus), np.asarray(g_ref))
+    assert float(jnp.abs(g_fus).max()) > 0
