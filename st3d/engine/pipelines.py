@@ -190,9 +190,21 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
     static_vis = cfg.optimization_target == "texture"
     vis_jit = jax.jit(lambda m, c: precompute_visibility(m, c, settings))
 
+    fused_bg = bool(os.environ.get("ST3D_FUSED_BG"))
+
     def mse_loss_fn(p, cams_b, target_imgs, vis):
         mesh = apply_params(content_mesh, p)
-        if vis is not None:
+        if vis is not None and fused_bg and "chunk_idx" in vis:
+            # A/B candidate (VERDICT r4 item 1b): the frame comes straight
+            # from the compact scatter (white bg), and the mask is the
+            # static visibility constant itself — the rgba concat, slices,
+            # and alpha compare never exist. Bit-equal: alpha IS
+            # vis["mask"] cast, by construction (shade_compact).
+            from st3d.render.renderer import render_composited_static
+
+            imgs = render_composited_static(mesh, vis, settings)
+            masks = vis["mask"][..., None].astype(imgs.dtype)
+        elif vis is not None:
             # NHWC end-to-end (targets arrive pre-transposed); the loss is
             # elementwise+mean, so the layout only has to be consistent.
             rgba = render_rgba_static(mesh, vis, settings)
