@@ -371,6 +371,16 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
             camR_s, camT_s, applied_s, vis_s = shard_views(
                 (batch_cams.R, batch_cams.T, applied, vis_nd), dev_mesh
             )
+        pend_done, pend_losses = None, None
+
+        def _flush_mse_log(d0, ls):
+            ls = np.asarray(ls)
+            for k, lv in enumerate(ls):
+                logger.log_step(i, d0 + k, float(lv))
+            if mse_bar is not None:
+                mse_bar.set_postfix(loss=float(ls[-1]))
+                mse_bar.update(len(ls))
+
         while done < cfg.n_mse_steps:
             n = min(25, cfg.n_mse_steps - done)
             if cfg.checkpoint_every:
@@ -392,18 +402,29 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
                     if vis is not None else applied,
                     vis, n
                 )
-                for k, lv in enumerate(np.asarray(losses)):
-                    logger.log_step(i, done + k, float(lv))
-                if mse_bar is not None:
-                    mse_bar.set_postfix(loss=float(np.asarray(losses)[-1]))
-                    mse_bar.update(n)
+                # Flush the PREVIOUS chunk's losses now that this chunk is
+                # dispatched: np.asarray blocks until that chunk's device
+                # work completes, and blocking on the current chunk before
+                # dispatching the next serializes every dispatch against
+                # the tunnel round-trip (same lag-by-one as the 2D-ST
+                # progress bar — st3d/engine/style_transfer2d.py).
+                if pend_losses is not None:
+                    _flush_mse_log(pend_done, pend_losses)
+                pend_done, pend_losses = done, losses
             done += n
             if (cfg.checkpoint_every and done < cfg.n_mse_steps
                     and done % cfg.checkpoint_every == 0):
+                # log.txt must cover every step up to the checkpoint a
+                # resume would continue from.
+                if pend_losses is not None:
+                    _flush_mse_log(pend_done, pend_losses)
+                    pend_losses = None
                 save_checkpoint(
                     ckpt_path, i, params, opt_state, rng,
                     extras={"mse_done": done, "applied": applied},
                 )
+        if pend_losses is not None:
+            _flush_mse_log(pend_done, pend_losses)
         if mse_bar is not None:
             mse_bar.close()
 

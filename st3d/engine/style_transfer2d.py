@@ -110,14 +110,25 @@ def style_transfer(
         except ImportError:
             pass
 
-    last_loss = None
+    # The postfix lags ONE chunk: float(loss) blocks until that chunk's
+    # device work completes, and blocking on the CURRENT chunk before
+    # dispatching the next serializes every dispatch against the tunnel
+    # round-trip (measured: the first approach's ST phase sustained
+    # 2.73s/100-step chunk with the synchronous postfix vs bench_st2d's
+    # 1.6s for the identical scan — a ~1.1s/chunk dispatch stall, round
+    # 5). Fetching chunk i-1's loss while chunk i runs keeps the bar live
+    # at full pipeline depth.
+    pending = None
     for n in iterator:
         imgs, opt_state, losses = _scan_steps(
             imgs, opt_state, targets, model,
             jnp.float32(style_weight), jnp.float32(content_weight),
             n, lr, dtype,
         )
-        last_loss = losses[-1]
-        if progress and hasattr(iterator, "set_postfix"):
-            iterator.set_postfix(loss=float(last_loss))
+        if progress and pending is not None \
+                and hasattr(iterator, "set_postfix"):
+            iterator.set_postfix(loss=float(pending))
+        pending = losses[-1]
+    if progress and pending is not None and hasattr(iterator, "set_postfix"):
+        iterator.set_postfix(loss=float(pending))
     return jnp.transpose(imgs, (0, 3, 1, 2))  # back to the NCHW API layout
