@@ -67,18 +67,26 @@ def main() -> int:
                        chunk=chunk, progress=False, dtype=dtype))
     compile_s = time.time() - t0
 
-    # SECOND warmup pass, mirroring a timed window exactly: the round-4
-    # artifact's first window ran 10x slow DESPITE the same-scan-length
-    # warmup above (rate_windows [5.8, 62.5, 67.7]) — a one-time
-    # post-compile settling cost (the probe shows no recompile on the
-    # chained second chunk, and the persistent cache serializes the
-    # ~100MB scan executable right after the first full execution).
-    # Consume it before timing; the settle wall is recorded.
-    t0 = time.time()
-    jax.block_until_ready(
-        style_transfer(init, content_b, style_b, vgg, steps=args.steps,
-                       chunk=chunk, progress=False, dtype=dtype))
-    settle_s = time.time() - t0
+    # Adaptive settling, untimed windows mirroring a timed one exactly:
+    # the round-4 artifact's first window ran 10x slow DESPITE the
+    # same-scan-length warmup above (rate_windows [5.8, 62.5, 67.7]), and
+    # a single extra settle pass did NOT consume it (measured round 5:
+    # settle 43.7s AND the next window 38s were both slow, then steady at
+    # ~57-59 it/s) — the tunnel keeps landing asynchronous compile/cache
+    # work for ~80s after the warmup call returns, independent of the
+    # call pattern. Run untimed windows until two consecutive rates agree
+    # within 10% (recorded in the artifact), then time.
+    settle_rates = []
+    for _ in range(5):
+        t0 = time.time()
+        jax.block_until_ready(
+            style_transfer(init, content_b, style_b, vgg,
+                           steps=args.steps, chunk=chunk, progress=False,
+                           dtype=dtype))
+        settle_rates.append(args.steps / (time.time() - t0))
+        if (len(settle_rates) >= 2
+                and abs(settle_rates[-1] / settle_rates[-2] - 1) < 0.10):
+            break
 
     # Timed: three windows, median (run variance discipline, PERF_NOTES).
     rates = []
@@ -96,7 +104,7 @@ def main() -> int:
         "iters_per_sec": round(it_s, 3),
         "rate_windows": [round(r, 3) for r in rates],
         "compile_s": round(compile_s, 1),
-        "settle_s": round(settle_s, 1),
+        "settle_windows": [round(r, 3) for r in settle_rates],
         "backend": jax.default_backend(),
         "device_kind": jax.devices()[0].device_kind,
         # First-approach batch projection: 3000 ST steps at this rate
