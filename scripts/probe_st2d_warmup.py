@@ -7,6 +7,14 @@ Phases timed separately, 4 repetitions, everything block_until_ready'd:
   create   StyleContentTargets.create (2 VGG fwd at the target shapes)
   chunk    one _scan_steps(n=100) call
 Prints a JSON line per repetition so the slow component is unambiguous.
+
+MEASUREMENT CAVEAT (round 5): repeated chunk calls report ~0.0s — the
+tunnel dedupes/pipelines dispatches whose results are never consumed
+across repetitions (same artifact stage1_isolate.py hit; its fix is
+chaining each iteration through a scan carry). Only the FIRST
+occurrence of each phase (its compile+run) is trustworthy here; steady
+rates must come from scripts/bench_st2d.py, whose windows consume their
+outputs.
 """
 
 import json
