@@ -60,27 +60,33 @@ def main() -> int:
     # the 100-step compile inside the first timed window). block_until_
     # ready: jit dispatch is async — without it the windows time enqueue,
     # not compute (bench.py discipline).
+    #
+    # EVERY window below CHAINS its input from the previous window's
+    # output images. Re-dispatching identical args is NOT safe through
+    # the tunnel: it dedupes/caches repeated dispatch DAGs — measured
+    # round 5, un-chained settle windows "ran" at 212 it/s and timed
+    # windows at 100 it/s, far above the ~60 it/s compute rate (same
+    # artifact as stage1_isolate.py; same fix). Chained windows keep the
+    # identical per-step compute (the first approach itself continues
+    # optimization from the current images).
     chunk = min(args.steps, 100)
     t0 = time.time()
-    jax.block_until_ready(
+    cur = jax.block_until_ready(
         style_transfer(init, content_b, style_b, vgg, steps=chunk,
                        chunk=chunk, progress=False, dtype=dtype))
     compile_s = time.time() - t0
 
-    # Adaptive settling, untimed windows mirroring a timed one exactly:
-    # the round-4 artifact's first window ran 10x slow DESPITE the
-    # same-scan-length warmup above (rate_windows [5.8, 62.5, 67.7]), and
-    # a single extra settle pass did NOT consume it (measured round 5:
-    # settle 43.7s AND the next window 38s were both slow, then steady at
-    # ~57-59 it/s) — the tunnel keeps landing asynchronous compile/cache
-    # work for ~80s after the warmup call returns, independent of the
-    # call pattern. Run untimed windows until two consecutive rates agree
-    # within 10% (recorded in the artifact), then time.
+    # Adaptive settling, untimed chained windows mirroring a timed one:
+    # after the warmup call returns, tunnel-side async work keeps landing
+    # for ~80s independent of the call pattern (measured: one settle pass
+    # 43.7s AND the next window 38s both ~10x slow, then steady). Settle
+    # until two consecutive rates agree within 10%, recorded in the
+    # artifact.
     settle_rates = []
     for _ in range(5):
         t0 = time.time()
-        jax.block_until_ready(
-            style_transfer(init, content_b, style_b, vgg,
+        cur = jax.block_until_ready(
+            style_transfer(cur, content_b, style_b, vgg,
                            steps=args.steps, chunk=chunk, progress=False,
                            dtype=dtype))
         settle_rates.append(args.steps / (time.time() - t0))
@@ -88,12 +94,13 @@ def main() -> int:
                 and abs(settle_rates[-1] / settle_rates[-2] - 1) < 0.10):
             break
 
-    # Timed: three windows, median (run variance discipline, PERF_NOTES).
+    # Timed: three chained windows, median (run variance discipline,
+    # PERF_NOTES).
     rates = []
     for _ in range(3):
         t0 = time.time()
-        jax.block_until_ready(
-            style_transfer(init, content_b, style_b, vgg, steps=args.steps,
+        cur = jax.block_until_ready(
+            style_transfer(cur, content_b, style_b, vgg, steps=args.steps,
                            chunk=chunk, progress=False, dtype=dtype))
         rates.append(args.steps / (time.time() - t0))
     it_s = sorted(rates)[1]
