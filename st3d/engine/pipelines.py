@@ -233,6 +233,29 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
         (p, st), losses = jax.lax.scan(one, (p, st), None, length=n_steps)
         return p, st, losses
 
+    # On TPU the MSE scan's multi-minute axon compile rides the AOT
+    # executable cache (the persistent compilation cache does not help
+    # that path at all — see style_transfer2d._use_aot, same machinery).
+    from st3d.engine.style_transfer2d import _specs, _use_aot
+
+    mse_exec = {}
+
+    def mse_steps_call(p, st, cams_b, target_imgs, vis, n_steps: int):
+        if not _use_aot():
+            return mse_steps(p, st, cams_b, target_imgs, vis, n_steps)
+        fn = mse_exec.get(n_steps)
+        if fn is None:
+            from st3d.utils.aot import load_or_compile_guarded
+
+            fn = mse_exec[n_steps] = load_or_compile_guarded(
+                mse_steps,
+                (_specs(p), _specs(st), _specs(cams_b),
+                 _specs(target_imgs), _specs(vis)),
+                tag=(f"fa_mse_{cfg.size}_{cfg.compute_dtype}_"
+                     f"{'static' if vis is not None else 'dyn'}_{n_steps}"),
+                static_tail=(n_steps,))
+        return fn(p, st, cams_b, target_imgs, vis)
+
     # --- data-parallel MSE phase (reference hot loop B,
     # first_approach.py:191-212): views shard across all local devices,
     # texture/vert grads pmean over ICI. Exact: the masked MSE is a mean
@@ -396,7 +419,7 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
                         mse_bar.set_postfix(loss=float(loss))
                         mse_bar.update(1)
             else:
-                params, opt_state, losses = mse_steps(
+                params, opt_state, losses = mse_steps_call(
                     params, opt_state, batch_cams,
                     jnp.transpose(applied, (0, 2, 3, 1))
                     if vis is not None else applied,

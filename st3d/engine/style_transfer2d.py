@@ -18,12 +18,31 @@ results (SURVEY.md §3.4/§3.5):
 from __future__ import annotations
 
 import functools
+import os
+
 import jax
 import jax.numpy as jnp
 import optax
 
 from st3d.models.vgg import VGG19, get_features
 from st3d.ops.losses import StyleContentTargets, style_content_loss
+
+
+def _use_aot() -> bool:
+    """The persistent compilation cache does not accelerate the axon
+    remote-compile path at all (measured round 3), so every fresh process
+    pays the full multi-minute compile of the scan chunk and the targets
+    graph — the warm bf16 first-approach e2e measured 660s with ~560s of
+    it recompilation (round 5). On TPU, route the big executables through
+    the AOT executable cache instead (same machinery as bench.py;
+    ST3D_NO_AOT opts out)."""
+    return (not os.environ.get("ST3D_NO_AOT")
+            and jax.default_backend() == "tpu")
+
+
+def _specs(t):
+    return jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), t)
 
 
 @functools.partial(jax.jit, static_argnames=("steps", "lr", "dtype"),
@@ -83,9 +102,23 @@ def style_transfer(
         == content_imgs.shape[0]
         == style_imgs.shape[0]
     )
-    targets = StyleContentTargets.create(
-        content_imgs, style_imgs, model, dtype=dtype, layout="NHWC"
-    )
+    use_aot = _use_aot()
+    shp = "x".join(map(str, initial_optimized_imgs.shape))
+    dt_name = jnp.dtype(dtype).name
+    if use_aot:
+        from st3d.utils.aot import load_or_compile_guarded
+
+        create_jit = jax.jit(functools.partial(
+            StyleContentTargets.create, dtype=dtype, layout="NHWC"))
+        create_exec = load_or_compile_guarded(
+            create_jit, (_specs(content_imgs), _specs(style_imgs),
+                         _specs(model)),
+            tag=f"st2d_create_{shp}_{dt_name}")
+        targets = create_exec(content_imgs, style_imgs, model)
+    else:
+        targets = StyleContentTargets.create(
+            content_imgs, style_imgs, model, dtype=dtype, layout="NHWC"
+        )
 
     # Copy (reference clone().detach(), style_transfer.py:54): the scan
     # donates its input buffers, and the caller's array must stay valid.
@@ -118,13 +151,33 @@ def style_transfer(
     # 1.6s for the identical scan — a ~1.1s/chunk dispatch stall, round
     # 5). Fetching chunk i-1's loss while chunk i runs keeps the bar live
     # at full pipeline depth.
-    pending = None
-    for n in iterator:
-        imgs, opt_state, losses = _scan_steps(
+    scan_exec = {}
+
+    def _run_chunk(imgs, opt_state, n):
+        if use_aot:
+            fn = scan_exec.get(n)
+            if fn is None:
+                from st3d.utils.aot import load_or_compile_guarded
+
+                fn = scan_exec[n] = load_or_compile_guarded(
+                    _scan_steps,
+                    (_specs(imgs), _specs(opt_state), _specs(targets),
+                     _specs(model), jax.ShapeDtypeStruct((), jnp.float32),
+                     jax.ShapeDtypeStruct((), jnp.float32)),
+                    tag=f"st2d_scan_{shp}_{n}_{dt_name}",
+                    static_tail=(n, lr, dtype))
+            return fn(imgs, opt_state, targets, model,
+                      jnp.float32(style_weight),
+                      jnp.float32(content_weight))
+        return _scan_steps(
             imgs, opt_state, targets, model,
             jnp.float32(style_weight), jnp.float32(content_weight),
             n, lr, dtype,
         )
+
+    pending = None
+    for n in iterator:
+        imgs, opt_state, losses = _run_chunk(imgs, opt_state, n)
         if progress and pending is not None \
                 and hasattr(iterator, "set_postfix"):
             iterator.set_postfix(loss=float(pending))

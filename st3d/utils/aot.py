@@ -169,3 +169,38 @@ def load_or_compile(jitted, example_args, tag: str, verbose: bool = True):
             print(f"aot: executable serialization unavailable ({e!r})",
                   file=sys.stderr)
     return compiled, False, meta_path
+
+
+def load_or_compile_guarded(jitted, call_specs, tag: str, static_tail=(),
+                            verbose: bool = True):
+    """``load_or_compile`` + a throwaway-execution probe of CACHE-LOADED
+    executables, for callers that cannot retry at a higher level (the
+    pipelines — a poisoned blob that deserializes fine but fails at
+    execution time, e.g. invisible libtpu skew, would otherwise crash a
+    user run; bench.py self-heals the same failure at its retry boundary).
+
+    ``call_specs``: the runtime (non-static) positional args as pytrees of
+    ShapeDtypeStructs — exactly what the compiled executable is called
+    with. ``static_tail``: trailing static argument VALUES (baked into the
+    executable). When the blob came from the cache, the executable is run
+    once on freshly-created zeros (donation-safe: they are throwaway) and
+    any failure invalidates the blob and compiles fresh. Returns the
+    compiled executable only."""
+    import jax
+    import jax.numpy as jnp
+
+    example = tuple(call_specs) + tuple(static_tail)
+    compiled, from_cache, _ = load_or_compile(jitted, example, tag, verbose)
+    if not from_cache:
+        return compiled
+    try:
+        zeros = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), tuple(call_specs))
+        jax.block_until_ready(compiled(*zeros))
+    except Exception as e:  # noqa: BLE001 — any guard failure = poisoned
+        path = invalidate_last_loaded_blob()
+        if verbose:
+            print(f"aot: {tag} guard execution failed ({e!r}); "
+                  f"invalidated {path}; compiling fresh", file=sys.stderr)
+        compiled, _, _ = load_or_compile(jitted, example, tag, verbose)
+    return compiled
