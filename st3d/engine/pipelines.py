@@ -735,6 +735,32 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
             )
             return p, st, rng, losses
 
+        # TPU warm starts: the epoch scan is the multi-minute axon
+        # compile; route it through the AOT executable cache (same
+        # machinery and rationale as the first approach's MSE scan).
+        from st3d.engine.style_transfer2d import _specs, _use_aot
+
+        chunk_exec = {}
+
+        def epoch_chunk_call(p, st, rng, cams_b, style_b, cimg, cmask,
+                             targets, vis, n):
+            if not _use_aot():
+                return epoch_chunk(p, st, rng, cams_b, style_b, cimg,
+                                   cmask, targets, vis, n)
+            fn = chunk_exec.get(n)
+            if fn is None:
+                from st3d.utils.aot import load_or_compile_guarded
+
+                fn = chunk_exec[n] = load_or_compile_guarded(
+                    epoch_chunk,
+                    tuple(_specs(a) for a in (
+                        p, st, rng, cams_b, style_b, cimg, cmask,
+                        targets, vis)),
+                    tag=f"sa_epoch_{cfg.size}_{cfg.compute_dtype}_{n}",
+                    static_tail=(n,))
+            return fn(p, st, rng, cams_b, style_b, cimg, cmask, targets,
+                      vis)
+
     start_epoch = 0
     ckpt_path = os.path.join(cfg.output_path, "checkpoint.npz")
     if cfg.resume and os.path.isfile(ckpt_path):
@@ -767,7 +793,7 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
             if cfg.checkpoint_every:
                 n = min(n, cfg.checkpoint_every
                         - (epoch % cfg.checkpoint_every))
-            params, opt_state, rng, losses = epoch_chunk(
+            params, opt_state, rng, losses = epoch_chunk_call(
                 params, opt_state, rng, cams_b, style_b, cimg, cmask,
                 targets, vis, n,
             )
