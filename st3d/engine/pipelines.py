@@ -38,7 +38,7 @@ from st3d.core.cameras import (
 from st3d.engine.background import apply_background
 from st3d.engine.config import PipelineConfig
 from st3d.engine.optim import apply_params, setup_optimizations
-from st3d.engine.style_transfer2d import style_transfer
+from st3d.engine.style_transfer2d import _specs, _use_aot, style_transfer
 from st3d.io.image import (
     flush_images,
     load_as_tensor,
@@ -106,16 +106,40 @@ def _load_style(cfg: PipelineConfig, batch: int) -> jnp.ndarray:
     return jnp.broadcast_to(style[None], (batch,) + style.shape)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _render_for_save(mesh, cameras, settings):
+def _render_for_save_impl(mesh, cameras, settings):
     return render_meshes(mesh, cameras, settings)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _render_for_save_tiled(mesh, cameras, settings):
+def _render_for_save_tiled_impl(mesh, cameras, settings):
     from st3d.parallel.tiles import render_meshes_tiled
 
     return render_meshes_tiled(mesh, cameras, settings)
+
+
+_render_for_save = jax.jit(_render_for_save_impl, static_argnums=(2,))
+_render_for_save_tiled = jax.jit(_render_for_save_tiled_impl,
+                                 static_argnums=(2,))
+
+# Per-(settings, tiled) AOT routes for the save renders: on TPU the final
+# 12-view render is a fresh multi-minute axon compile every process
+# (same prep-class tax as the content render). Settings are hashable
+# (static_argnums above already requires it).
+_SAVE_RENDER_EXEC = {}
+
+
+def _save_render_call(mesh, cameras, settings, tiled):
+    key = (settings, bool(tiled))
+    fn = _SAVE_RENDER_EXEC.get(key)
+    if fn is None:
+        from st3d.utils.aot import aot_jit
+
+        impl = (_render_for_save_tiled_impl if tiled
+                else _render_for_save_impl)
+        fn = _SAVE_RENDER_EXEC[key] = aot_jit(
+            jax.jit(functools.partial(impl, settings=settings)),
+            f"save_render{'_tiled' if tiled else ''}_{settings.image_size}",
+            gate=_use_aot)
+    return fn(mesh, cameras)
 
 
 def save_render(mesh: Mesh, cameras, settings, path: str,
@@ -133,10 +157,8 @@ def save_render(mesh: Mesh, cameras, settings, path: str,
     # once per (mesh, style) cell with identical shapes — a fresh
     # jit(lambda) per call would re-trace the full render program each
     # time instead of hitting the in-process cache.
-    if tile_parallel and len(jax.devices()) > 1:
-        imgs, _ = _render_for_save_tiled(mesh, cameras, settings)
-    else:
-        imgs, _ = _render_for_save(mesh, cameras, settings)
+    tiled = tile_parallel and len(jax.devices()) > 1
+    imgs, _ = _save_render_call(mesh, cameras, settings, tiled)
     arr = np.asarray(imgs)
     for i in range(arr.shape[0]):
         save_image(arr[i], os.path.join(path, f"view_{i}.png"), async_=True)
@@ -183,12 +205,22 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
     stop_profile = _maybe_profile(cfg)
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-    render_jit = jax.jit(lambda m, c: render_meshes(m, c, settings))
+    from st3d.utils.aot import aot_jit
+
+    # Prep-class graphs (content render, visibility precompute) re-tax
+    # every process with minutes of axon compile; on TPU they ride the
+    # AOT executable cache too (per-shape executables, same machinery as
+    # bench.py's _prep).
+    render_jit = aot_jit(
+        jax.jit(lambda m, c: render_meshes(m, c, settings)),
+        f"render_{cfg.size}", gate=_use_aot)
 
     # Texture-only MSE phase: visibility is a per-batch constant (see the
     # second approach's static_vis note).
     static_vis = cfg.optimization_target == "texture"
-    vis_jit = jax.jit(lambda m, c: precompute_visibility(m, c, settings))
+    vis_jit = aot_jit(
+        jax.jit(lambda m, c: precompute_visibility(m, c, settings)),
+        f"vis_{cfg.size}", gate=_use_aot)
 
     fused_bg = bool(os.environ.get("ST3D_FUSED_BG"))
 
@@ -236,8 +268,6 @@ def run_first_approach(cfg: PipelineConfig) -> Mesh:
     # On TPU the MSE scan's multi-minute axon compile rides the AOT
     # executable cache (the persistent compilation cache does not help
     # that path at all — see style_transfer2d._use_aot, same machinery).
-    from st3d.engine.style_transfer2d import _specs, _use_aot
-
     mse_exec = {}
 
     def mse_steps_call(p, st, cams_b, target_imgs, vis, n_steps: int):
@@ -493,14 +523,20 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
     stop_profile = _maybe_profile(cfg)
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-    render_jit = jax.jit(lambda m, c: render_meshes(m, c, settings))
+    from st3d.utils.aot import aot_jit
+
+    render_jit = aot_jit(
+        jax.jit(lambda m, c: render_meshes(m, c, settings)),
+        f"render_{cfg.size}", gate=_use_aot)
 
     # Texture-only optimization never moves the geometry, so the discrete
     # visibility pass is a per-batch CONSTANT — hoist it with the targets
     # and run only the shading epilogue + VGG per step (the reference
     # re-rasterizes every step, second_approach.py:156).
     static_vis = cfg.optimization_target == "texture"
-    vis_jit = jax.jit(lambda m, c: precompute_visibility(m, c, settings))
+    vis_jit = aot_jit(
+        jax.jit(lambda m, c: precompute_visibility(m, c, settings)),
+        f"vis_{cfg.size}", gate=_use_aot)
 
     # Per-batch constants, hoisted out of the epoch loop (the reference
     # re-renders content and re-extracts style/content features every step;
@@ -738,8 +774,6 @@ def run_second_approach(cfg: PipelineConfig) -> Mesh:
         # TPU warm starts: the epoch scan is the multi-minute axon
         # compile; route it through the AOT executable cache (same
         # machinery and rationale as the first approach's MSE scan).
-        from st3d.engine.style_transfer2d import _specs, _use_aot
-
         chunk_exec = {}
 
         def epoch_chunk_call(p, st, rng, cams_b, style_b, cimg, cmask,

@@ -204,3 +204,33 @@ def load_or_compile_guarded(jitted, call_specs, tag: str, static_tail=(),
                   f"invalidated {path}; compiling fresh", file=sys.stderr)
         compiled, _, _ = load_or_compile(jitted, example, tag, verbose)
     return compiled
+
+
+def aot_jit(jitted, tag: str, gate=None):
+    """Wrap a jitted callable so each distinct input-aval signature routes
+    through ``load_or_compile_guarded`` lazily (per-shape executables,
+    keyed ``{tag}_{aval hash}``). ``gate``: zero-arg predicate evaluated
+    per call; when false the plain jit runs (keeps CPU paths off the
+    cache). For prep-class graphs whose axon compiles re-tax every
+    process (content render, visibility precompute, save renders)."""
+    cache = {}
+
+    def call(*args):
+        if gate is not None and not gate():
+            return jitted(*args)
+        import jax
+        import jax.numpy as jnp
+
+        specs = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a),
+                                           jnp.result_type(a)), args)
+        sig = hashlib.sha256(str(jax.tree_util.tree_map(
+            lambda s: (s.shape, str(s.dtype)), specs)).encode()
+        ).hexdigest()[:8]
+        fn = cache.get(sig)
+        if fn is None:
+            fn = cache[sig] = load_or_compile_guarded(
+                jitted, specs, f"{tag}_{sig}")
+        return fn(*args)
+
+    return call
