@@ -382,16 +382,31 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
         p = optax.apply_updates(p, updates)
         return p, st, loss, per_grid
 
-    if os.environ.get("ST3D_FLEET_MEMLOWER"):
+    from st3d.engine.style_transfer2d import _specs, _use_aot
+
+    aot_step = _use_aot() and not use_dp
+    if aot_step or os.environ.get("ST3D_FLEET_MEMLOWER"):
         # Memory evidence for the config-5 grid (VERDICT r4 item 5): the
         # axon tunnel does not expose device.memory_stats(), but the
         # compiler's own memory analysis of the step executable is exact
         # and host-independent. AOT-compile the step explicitly (the
         # compiled object replaces the jit wrapper, so the step compiles
         # ONCE either way) and write the analysis next to metrics.jsonl.
+        # On TPU the executable also rides the AOT cache (the grid step
+        # was ~590s of the fleet runner's 603s wall) — single-device
+        # only: ShapeDtypeStruct specs carry no shardings, so the DP grid
+        # keeps the jit wrapper.
         vis0, cfeat0, grams0 = batch_const[0]
-        compiled = step.lower(params, opt_state, vis0, cfeat0,
-                              grams0).compile()
+        if aot_step:
+            from st3d.utils.aot import load_or_compile_guarded
+
+            compiled = load_or_compile_guarded(
+                step, (_specs(params), _specs(opt_state), _specs(vis0),
+                       _specs(cfeat0), _specs(grams0)),
+                tag=f"fleet_step_{cfg.size}_{grid_m}x{grid_s}")
+        else:
+            compiled = step.lower(params, opt_state, vis0, cfeat0,
+                                  grams0).compile()
 
         def _avals(t):
             return jax.tree_util.tree_map(
@@ -424,12 +439,17 @@ def run_fleet_batched(cfg: PipelineConfig, obj_paths: Sequence[str],
                 + mem.get("output_size_in_bytes", 0)
                 + mem.get("temp_size_in_bytes", 0)
             )
-        except Exception as e:  # analysis missing on some PJRT backends
+        except Exception as e:  # analysis missing on some PJRT backends,
+            # and unavailable on a DESERIALIZED (AOT-cache-hit) executable
             mem = {"error": str(e)}
-        with open(os.path.join(cfg.output_path, "xla_mem.json"), "w") as f:
-            import json as _json
+        mem_path = os.path.join(cfg.output_path, "xla_mem.json")
+        # A warm AOT hit cannot produce the analysis — keep an existing
+        # good file rather than clobbering it with the error record.
+        if "error" not in mem or not os.path.isfile(mem_path):
+            with open(mem_path, "w") as f:
+                import json as _json
 
-            _json.dump(mem, f, indent=1)
+                _json.dump(mem, f, indent=1)
         if uniform:
             step = compiled
 
