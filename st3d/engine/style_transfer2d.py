@@ -45,6 +45,26 @@ def _specs(t):
         lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), t)
 
 
+# Process-global executable memo: repeated style_transfer calls (one per
+# first-approach batch; one per bench window) must not re-lower and
+# re-hash their executables every call (~seconds each — it depressed
+# bench_st2d's windows by 2x). Safe because every graph-determining input
+# is in the memo key: shapes/dtype/steps/lr in the tag and the ST3D_* A/B
+# env via the aot key itself (a changed env changes what load_or_compile
+# returns, so include it here too).
+_EXEC_MEMO = {}
+
+
+def _memo_exec(tag, build):
+    key = (tag, os.environ.get("ST3D_NO_AOT", ""),
+           tuple(sorted((k, v) for k, v in os.environ.items()
+                        if k.startswith("ST3D_"))))
+    fn = _EXEC_MEMO.get(key)
+    if fn is None:
+        fn = _EXEC_MEMO[key] = build()
+    return fn
+
+
 @functools.partial(jax.jit, static_argnames=("steps", "lr", "dtype"),
                    donate_argnums=(0, 1))
 def _scan_steps(imgs, opt_state, targets, model, style_weight,
@@ -108,12 +128,16 @@ def style_transfer(
     if use_aot:
         from st3d.utils.aot import load_or_compile_guarded
 
-        create_jit = jax.jit(functools.partial(
-            StyleContentTargets.create, dtype=dtype, layout="NHWC"))
-        create_exec = load_or_compile_guarded(
-            create_jit, (_specs(content_imgs), _specs(style_imgs),
-                         _specs(model)),
-            tag=f"st2d_create_{shp}_{dt_name}")
+        def _build_create():
+            create_jit = jax.jit(functools.partial(
+                StyleContentTargets.create, dtype=dtype, layout="NHWC"))
+            return load_or_compile_guarded(
+                create_jit, (_specs(content_imgs), _specs(style_imgs),
+                             _specs(model)),
+                tag=f"st2d_create_{shp}_{dt_name}")
+
+        create_exec = _memo_exec(f"st2d_create_{shp}_{dt_name}",
+                                 _build_create)
         targets = create_exec(content_imgs, style_imgs, model)
     else:
         targets = StyleContentTargets.create(
@@ -159,13 +183,18 @@ def style_transfer(
             if fn is None:
                 from st3d.utils.aot import load_or_compile_guarded
 
-                fn = scan_exec[n] = load_or_compile_guarded(
-                    _scan_steps,
-                    (_specs(imgs), _specs(opt_state), _specs(targets),
-                     _specs(model), jax.ShapeDtypeStruct((), jnp.float32),
-                     jax.ShapeDtypeStruct((), jnp.float32)),
-                    tag=f"st2d_scan_{shp}_{n}_{dt_name}",
-                    static_tail=(n, lr, dtype))
+                def _build_scan(imgs=imgs, opt_state=opt_state, n=n):
+                    return load_or_compile_guarded(
+                        _scan_steps,
+                        (_specs(imgs), _specs(opt_state), _specs(targets),
+                         _specs(model),
+                         jax.ShapeDtypeStruct((), jnp.float32),
+                         jax.ShapeDtypeStruct((), jnp.float32)),
+                        tag=f"st2d_scan_{shp}_{n}_{dt_name}",
+                        static_tail=(n, lr, dtype))
+
+                fn = scan_exec[n] = _memo_exec(
+                    f"st2d_scan_{shp}_{n}_{dt_name}_lr{lr}", _build_scan)
             return fn(imgs, opt_state, targets, model,
                       jnp.float32(style_weight),
                       jnp.float32(content_weight))
