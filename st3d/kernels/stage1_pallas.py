@@ -304,19 +304,114 @@ def _stage_patches(x_ref, patch_ref, *, n_rows, wp, cin, hi, nb, shift):
                        rp, 0, n_rows)
 
 
+TILE_SLOTS = (1, 0, 3, 2)     # per-rp cp order of the tile-staged K axis
+
+
+def pack_weights_tile(w, b):
+    """pack_weights_phase with the per-rp cp axis permuted to TILE_SLOTS —
+    the K order _stage_patches_tile emits. The lane swap that the masked
+    staging performs (cp0's px1 source lands at the LOW lane half) is
+    absorbed here instead: Mosaic has no bf16 vector rotate (measured
+    round 5: `tpu.dynamic_rotate ... not implemented: Rotate with
+    non-32-bit data`), so the kernel stores where-merged tiles in source
+    lane order and the weight rows follow."""
+    wq, bq = pack_weights_phase(w, b)
+    cin = w.shape[2]
+    return (wq.reshape(4, 4, cin, -1)[:, TILE_SLOTS, :, :]
+            .reshape(16 * cin, -1)), bq
+
+
+def _stage_patches_tile(x_ref, patch_ref, *, n_rows, wp, cin, hi, nb,
+                        shift):
+    """_stage_patches for 2*cin == 128 (conv1_2's z5 input): the same
+    patch VALUES, staged as 8 full-lane-tile aligned stores per band
+    instead of 16 lane-masked 64-lane read-modify-writes. Per row phase
+    rp the four cp slots span lanes [rp*256, rp*256+256) = exactly two
+    (., 128) tiles, in TILE_SLOTS order so every tile is a pure
+    where-select of shifted sources (no lane moves):
+
+        tile A = [cp1 | cp0] = [v(px0)  | sd(px1)]
+        tile B = [cp3 | cp2] = [su(px0) | v(px1)]
+
+    with v the unshifted source rows, sd/su the col -1/+1 shifts (zero
+    borders). Weights must come from pack_weights_tile. The K axis is a
+    within-tile permutation of the masked layout, so outputs agree with
+    the masked path to MXU/f32 reassociation (tolerance-tested, not
+    bit-equal; the f32 chain keeps the masked path — _use_tile_staging)."""
+    zrow = jnp.zeros((1, wp, 2 * cin), x_ref.dtype)
+
+    def store_tiles(rows_val, rp, row_lo, row_hi):
+        n = row_hi - row_lo
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n, wp, 2 * cin), 2)
+        lo = lane < cin
+        sd = jnp.pad(rows_val, ((0, 0), (1, 0), (0, 0)))[:, :wp, :]
+        su = jnp.pad(rows_val, ((0, 0), (0, 1), (0, 0)))[:, 1:, :]
+        k0 = rp * 4 * cin
+        tile_a = jnp.where(lo, rows_val, sd)
+        tile_b = jnp.where(lo, su, rows_val)
+        patch_ref[row_lo:row_hi, :, k0:k0 + 2 * cin] = tile_a
+        patch_ref[row_lo:row_hi, :, k0 + 2 * cin:k0 + 4 * cin] = tile_b
+
+    for rp in range(4):
+        ty, py = PHASES[rp]
+        off = ty + 1 + shift
+        if rp == 0:
+            @pl.when(hi != 0)
+            def _i0(off=off, py=py):
+                store_tiles(x_ref[0, pl.ds(off, n_rows), py, :, :],
+                            0, 0, n_rows)
+
+            @pl.when(hi == 0)
+            def _f0(py=py):
+                store_tiles(x_ref[0, 0:n_rows - 1, py, :, :], 0, 1, n_rows)
+                patch_ref[0:1, :, 0:2 * cin] = zrow
+                patch_ref[0:1, :, 2 * cin:4 * cin] = zrow
+        elif rp == 3:
+            @pl.when(hi != nb - 1)
+            def _i3(off=off, py=py):
+                store_tiles(x_ref[0, pl.ds(off, n_rows), py, :, :],
+                            3, 0, n_rows)
+
+            @pl.when(hi == nb - 1)
+            def _l3(py=py):
+                store_tiles(x_ref[0, 3:n_rows + 2, py, :, :],
+                            3, 0, n_rows - 1)
+                k0 = 12 * cin
+                patch_ref[n_rows - 1:n_rows, :, k0:k0 + 2 * cin] = zrow
+                patch_ref[n_rows - 1:n_rows, :,
+                          k0 + 2 * cin:k0 + 4 * cin] = zrow
+        else:
+            store_tiles(x_ref[0, pl.ds(off, n_rows), py, :, :],
+                        rp, 0, n_rows)
+
+
+def _use_tile_staging(cin: int, dtype) -> bool:
+    """Tile staging applies to the bf16 hot path only: the f32 chain is
+    the exactness surface (tpu_smoke check 7 compares it same-math against
+    the jnp reference, whose quad_patches_ref keeps the masked K order) —
+    and the within-tile K permutation reassociates the f32 MXU sums.
+    ``ST3D_NO_S1_WIDE=1`` reverts bf16 to the masked staging too."""
+    import os
+
+    return (cin == 64 and jnp.dtype(dtype) == jnp.bfloat16
+            and not os.environ.get("ST3D_NO_S1_WIDE"))
+
+
 def _band_rows_c11_bwd(hp: int, wp: int, itemsize: int = 2) -> int:
     """conv1_1 bwd band rows. Unlike the fwd (where the 16*cin=48-wide
     patch scratch dominates and _band_rows_packed's budget is the right
     model), this kernel's VMEM is dominated by the (bh+2)-HALO-row
-    buffers: the 128-channel dz5/z5 blocks (double-buffered) and the f32
-    patch/dp48/route temps — so the budget rides (bh+2)*wp. On-device
-    anchors (v5e, 16M scoped limit): bf16 FITS (wp=256, bh=8 → 2560
-    units; the bench config) and (wp=384, bh=4 → 2304) but OOMs at
-    (wp=384, bh=8 → 3840, 17.09M — the round-4 768² BENCH failure) and
-    (wp=512, bh=4 → 3072 — the 1024² ladder check); f32 FITS (wp=256,
-    bh=2 → 1024) but OOMs at bh=4 (16.44M) and bh=8 (22.80M). Keeps
-    bh | hp; callers fall back to the jnp reference backward below 2."""
-    limit = 2560 if itemsize == 2 else 1024
+    buffers: the 128-channel dz5/z5 blocks (double-buffered), the saved
+    P48 input block, and the f32 dp48/route temps — so the budget rides
+    (bh+2)*wp. Pre-r5 anchors (kernel then ALSO carried the (bh+4)-row
+    x5 block + a patch scratch, ~1.2KB/unit more): bf16 fit 2560 units,
+    OOM'd at 3840 (17.09M); f32 fit 1024, OOM'd at 1536 (16.44M) —
+    i.e. ~6.4KB(bf16)/10.7KB(f32) per unit. Round-5 (saved-P48 form)
+    drops ~0.97KB/2.0KB per unit; limits below leave >=8% headroom to
+    the 16M scoped budget and are re-anchored on device by
+    scripts/stage1_ladder_check.py. Keeps bh | hp; callers fall back to
+    the jnp reference backward below 2."""
+    limit = 2880 if itemsize == 2 else 1700
     bh = max(1, min(hp // 2, 8))
     while bh > 1 and (bh + 2) * wp > limit:
         bh -= 1
@@ -349,10 +444,19 @@ def _band_shift(hi, nb):
 
 
 def _conv1_1_kernel(x_ref, w_ref, b_ref, o_ref, g_ref, s_ref,
-                    patch_ref, *, bh, wp, cin, nb):
+                    *rest, bh, wp, cin, nb):
+    # rest = (patch_ref,) on the primal path, (p_ref, patch_ref) when the
+    # VJP fwd exports the staged patch matrix for the backward kernel
+    # (saves the bwd's 16x3-lane re-staging loop; see conv1_1_bwd_dx).
+    if len(rest) == 2:
+        p_out_ref, patch_ref = rest
+    else:
+        p_out_ref, (patch_ref,) = None, rest
     hi = pl.program_id(1)
     _stage_patches(x_ref, patch_ref, n_rows=bh, wp=wp, cin=cin, hi=hi,
                    nb=nb, shift=_band_shift(hi, nb))
+    if p_out_ref is not None:
+        p_out_ref[0] = patch_ref[...]
     p = patch_ref[...].reshape(bh * wp, 16 * cin)
     acc = jnp.dot(p, w_ref[...], preferred_element_type=jnp.float32)
     acc = jnp.maximum(acc + b_ref[0].astype(jnp.float32), 0.0)
@@ -379,12 +483,13 @@ def _conv1_1_kernel(x_ref, w_ref, b_ref, o_ref, g_ref, s_ref,
 
 
 def _conv1_2_kernel(x_ref, w_ref, b_ref, o_ref, i_ref,
-                    patch_ref, *, bh, wp, cin, nb):
+                    patch_ref, *, bh, wp, cin, nb, tile_stage=False):
     from st3d.kernels.conv_pallas import _pool4_first_max
 
     hi = pl.program_id(1)
-    _stage_patches(x_ref, patch_ref, n_rows=bh, wp=wp, cin=cin, hi=hi,
-                   nb=nb, shift=_band_shift(hi, nb))
+    stage = _stage_patches_tile if tile_stage else _stage_patches
+    stage(x_ref, patch_ref, n_rows=bh, wp=wp, cin=cin, hi=hi,
+          nb=nb, shift=_band_shift(hi, nb))
     p = patch_ref[...].reshape(bh * wp, 16 * cin)
     acc = jnp.dot(p, w_ref[...], preferred_element_type=jnp.float32)
     acc = jnp.maximum(acc + b_ref[0].astype(jnp.float32), 0.0)
@@ -475,31 +580,30 @@ def _conv1_2_bwd_kernel(dp_ref, i_ref, p_ref, w_ref, o_ref, dpre_ref,
     _fold_dq_to_packed(dq_ref, o_ref, shift, bh, wp, cin)
 
 
-def _conv1_1_bwd_kernel(dz_ref, z_ref, x_ref, w_ref, g_ref, s_ref, o_ref,
-                        patch_ref, dq_ref, *, bh, wp, cin, nb, hp):
-    """dx5 from (dz5, saved z5, x5, sym(dG48), ds48): per band, rebuild
-    the quad patches for the bh+2 halo quad rows (the fold crosses band
-    edges by one row), assemble the relu-masked conv cotangent, run
+def _conv1_1_bwd_kernel(dz_ref, z_ref, p_ref, w_ref, g_ref, s_ref, o_ref,
+                        dq_ref, *, bh, wp, cin, nb, hp):
+    """dx5 from (dz5, saved z5, saved P48, sym(dG48), ds48): per band,
+    read the fwd-saved quad patches for the bh+2 halo quad rows (the fold
+    crosses band edges by one row), assemble the relu-masked conv
+    cotangent, run
 
         dP48 = dacc @ W48ᵀ + P48 @ sym(dG48) + 1 · ds48ᵀ
 
     and fold dP48 back to the packed input layout with the same guard-row
     scheme as _conv1_2_bwd_kernel. Output IS the (1, bh, 2, wp, 2cin) dx5
-    block. dz/z blocks: (1, bh+2, 2, wp, 128) at start = clip(hi*bh-1, 0,
-    hp-bh-2); x block: (1, bh+4, 2, wp, 2cin) at clip(start-1, 0,
-    hp-bh-4) (the caller gates hp >= bh+4)."""
+    block. dz/z/p blocks: (1, bh+2, ..., wp, .) at start = clip(hi*bh-1,
+    0, hp-bh-2). P48 is the fwd kernel's own staged patch matrix
+    (bit-identical to re-staging it from x5, which this kernel did until
+    round 5 — 16 lane-masked 3-lane stores per band, the single largest
+    VPU cost in the whole stage-1 chain)."""
     hi = pl.program_id(1)
     rows = bh + 2
     kq = 16 * cin
-    start = jnp.clip(hi * bh - 1, 0, hp - bh - 2)
-    shift2 = start - 1 - jnp.clip(start - 1, 0, hp - bh - 4)
-    _stage_patches(x_ref, patch_ref, n_rows=rows, wp=wp, cin=cin, hi=hi,
-                   nb=nb, shift=shift2)
 
     # Relu-masked cotangent, split by qy so no 256-lane concat is built:
     # W48's N order is (qy*128 | qx*64 | o), so the two lane halves of wt
     # (rows qy*128:(qy+1)*128) pair with the two qy planes of dz5.
-    p = patch_ref[...].reshape(rows * wp, kq)
+    p = p_ref[0].reshape(rows * wp, kq)
     dp48 = jnp.dot(p.astype(jnp.float32), g_ref[0],
                    preferred_element_type=jnp.float32)
     dp48 = dp48 + s_ref[0].astype(jnp.float32)    # broadcast (1, 48)
@@ -523,9 +627,10 @@ def _conv1_1_bwd_kernel(dz_ref, z_ref, x_ref, w_ref, g_ref, s_ref, o_ref,
     _fold_dq_to_packed(dq_ref, o_ref, _band_shift(hi, nb), bh, wp, cin)
 
 
-def conv1_1_bwd_dx(dz5, z5, x, w, dg48, ds48, interpret=False):
+def conv1_1_bwd_dx(dz5, z5, p48, x, w, dg48, ds48, interpret=False):
     """The dx-emitting backward kernel for conv1_1_packed (see
-    _conv1_1_bwd_kernel). Returns dx in the caller's (B, H, W, cin)."""
+    _conv1_1_bwd_kernel). ``p48`` is the fwd-saved patch matrix
+    (B, hp, wp, 48). Returns dx in the caller's (B, H, W, cin)."""
     bsz, h, wi, cin = x.shape
     hp, wp = h // 2, wi // 2
     wq, _ = pack_weights_phase(
@@ -536,7 +641,6 @@ def conv1_1_bwd_dx(dz5, z5, x, w, dg48, ds48, interpret=False):
     bh = _band_rows_c11_bwd(hp, wp, dz5.dtype.itemsize)
     assert bh >= 2 and hp - bh - 4 >= 0, (hp, bh)  # caller gates (see _c11_bwd)
     nb = hp // bh
-    x5 = pack_input5(x.astype(dz5.dtype))
     kern = functools.partial(_conv1_1_bwd_kernel, bh=bh, wp=wp, cin=cin,
                              nb=nb, hp=hp)
     zspec = pl.BlockSpec(
@@ -545,21 +649,16 @@ def conv1_1_bwd_dx(dz5, z5, x, w, dg48, ds48, interpret=False):
         lambda bi, hi: (bi, jnp.clip(hi * bh - 1, 0, hp - bh - 2),
                         0, 0, 0),
     )
-    xspec = pl.BlockSpec(
-        (pl.Element(1), pl.Element(bh + 4), pl.Element(2), pl.Element(wp),
-         pl.Element(2 * cin)),
-        lambda bi, hi: (
-            bi,
-            jnp.clip(jnp.clip(hi * bh - 1, 0, hp - bh - 2) - 1,
-                     0, hp - bh - 4),
-            0, 0, 0,
-        ),
+    pspec = pl.BlockSpec(
+        (pl.Element(1), pl.Element(bh + 2), pl.Element(wp),
+         pl.Element(16 * cin)),
+        lambda bi, hi: (bi, jnp.clip(hi * bh - 1, 0, hp - bh - 2), 0, 0),
     )
     dx5 = pl.pallas_call(
         kern,
         grid=(bsz, nb),
         in_specs=[
-            zspec, zspec, xspec,
+            zspec, zspec, pspec,
             pl.BlockSpec(wt.shape, lambda bi, hi: (0, 0)),
             pl.BlockSpec((1, 16 * cin, 16 * cin),
                          lambda bi, hi: (bi, 0, 0)),
@@ -572,11 +671,10 @@ def conv1_1_bwd_dx(dz5, z5, x, w, dg48, ds48, interpret=False):
         out_shape=jax.ShapeDtypeStruct((bsz, hp, 2, wp, 2 * cin),
                                        dz5.dtype),
         scratch_shapes=[
-            pltpu.VMEM(((bh + 2), wp, 16 * cin), dz5.dtype),
             pltpu.VMEM((bh + 4, wp + 2, 16 * cin), dz5.dtype),
         ],
         interpret=interpret,
-    )(dz5, z5, x5, wt, sym, ds48.astype(jnp.float32).reshape(bsz, 1, -1))
+    )(dz5, z5, p48, wt, sym, ds48.astype(jnp.float32).reshape(bsz, 1, -1))
     return unpack_output5(dx5).astype(x.dtype)
 
 
@@ -607,24 +705,16 @@ def _packed_call(x5, wq, bq, kernel, out_specs, out_shape, scratch,
     )(x5, wq, bq.reshape(1, -1))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def conv1_1_packed(x, w, b, interpret=False):
-    """Packed relu(conv1_1(x)+b) + quad-patch Gram stats.
-
-    x: (B, H, W, 3) with H, W even. Returns (z5 (B,H/2,2,W/2,128) in x's
-    dtype, g48 (B,48,48) f32, s48 (B,48) f32). Differentiable w.r.t. ``x``
-    only (VGG weights frozen); backward = autodiff of the pure-jnp
-    reference (phase 1, exact for the identical math — module docstring).
-    """
+def _conv1_1_call(x, w, b, interpret, export_patches):
+    """Shared guts of conv1_1_packed: returns (z5, g48, s48[, p48]).
+    ``export_patches`` additionally emits the staged patch matrix
+    (B, hp, wp, 48) for the backward kernel (VJP fwd path only — primal
+    callers never pay the extra HBM write)."""
     bsz, h, wi, cin = x.shape
     hp, wp = h // 2, wi // 2
     cout = w.shape[3]
     bh = _band_rows_packed(hp, wp, 16 * cin, jnp.dtype(x.dtype).itemsize)
-    if bh < 2:
-        # bh==1 (prime hp or hp < 4): the kernels' first/last-band
-        # boundary staging degenerates (zero-length Pallas slices) —
-        # pure-jnp reference fallback; _c11_bwd mirrors this gate.
-        return _conv1_1_packed_ref(x, w, b)
+    assert bh >= 2
     wq, bq = pack_weights_phase(w.astype(x.dtype), b.astype(x.dtype))
     x5 = pack_input5(x)
     out_specs = [
@@ -638,31 +728,67 @@ def conv1_1_packed(x, w, b, interpret=False):
         jax.ShapeDtypeStruct((bsz, 16 * cin, 16 * cin), jnp.float32),
         jax.ShapeDtypeStruct((bsz, 1, 16 * cin), jnp.float32),
     ]
+    if export_patches:
+        out_specs.append(pl.BlockSpec((1, bh, wp, 16 * cin),
+                                      lambda bi, hi: (bi, hi, 0, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((bsz, hp, wp, 16 * cin), x.dtype))
     scratch = [pltpu.VMEM((bh, wp, 16 * cin), x.dtype)]
-    z5, g48, s48 = _packed_call(
+    outs = _packed_call(
         x5, wq, bq, _conv1_1_kernel, out_specs, out_shape, scratch,
         interpret,
     )
-    return z5, g48, s48.reshape(bsz, 16 * cin)
+    z5, g48, s48 = outs[:3]
+    s48 = s48.reshape(bsz, 16 * cin)
+    if export_patches:
+        return z5, g48, s48, outs[3]
+    return z5, g48, s48
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv1_1_packed(x, w, b, interpret=False):
+    """Packed relu(conv1_1(x)+b) + quad-patch Gram stats.
+
+    x: (B, H, W, 3) with H, W even. Returns (z5 (B,H/2,2,W/2,128) in x's
+    dtype, g48 (B,48,48) f32, s48 (B,48) f32). Differentiable w.r.t. ``x``
+    only (VGG weights frozen); backward = autodiff of the pure-jnp
+    reference (phase 1, exact for the identical math — module docstring).
+    """
+    bsz, h, wi, cin = x.shape
+    hp, wp = h // 2, wi // 2
+    bh = _band_rows_packed(hp, wp, 16 * cin, jnp.dtype(x.dtype).itemsize)
+    if bh < 2:
+        # bh==1 (prime hp or hp < 4): the kernels' first/last-band
+        # boundary staging degenerates (zero-length Pallas slices) —
+        # pure-jnp reference fallback; _c11_bwd mirrors this gate.
+        return _conv1_1_packed_ref(x, w, b)
+    return _conv1_1_call(x, w, b, interpret, export_patches=False)
 
 
 def _c11_fwd(x, w, b, interpret):
-    z5, g48, s48 = conv1_1_packed(x, w, b, interpret)
-    return (z5, g48, s48), (x, z5, w, b)
+    bsz, h, wi, cin = x.shape
+    hp, wp = h // 2, wi // 2
+    bh = _band_rows_packed(hp, wp, 16 * cin, jnp.dtype(x.dtype).itemsize)
+    bh_bwd = _band_rows_c11_bwd(hp, wp, jnp.dtype(x.dtype).itemsize)
+    if bh < 2 or not (bh_bwd >= 2 and hp - bh_bwd - 4 >= 0):
+        # Fallback shapes (either direction): no point exporting patches.
+        z5, g48, s48 = conv1_1_packed(x, w, b, interpret)
+        return (z5, g48, s48), (x, z5, None, w, b)
+    z5, g48, s48, p48 = _conv1_1_call(x, w, b, interpret,
+                                      export_patches=True)
+    return (z5, g48, s48), (x, z5, p48, w, b)
 
 
 def _c11_bwd(interpret, res, cts):
-    x, z5, w, b = res
+    x, z5, p48, w, b = res
     dz5, dg48, ds48 = cts
-    hp, wp = x.shape[1] // 2, x.shape[2] // 2
-    bh = _band_rows_c11_bwd(hp, wp, jnp.dtype(z5.dtype).itemsize)
-    if bh >= 2 and hp - bh - 4 >= 0:
-        dx = conv1_1_bwd_dx(dz5.astype(z5.dtype), z5, x, w, dg48, ds48,
-                            interpret)
+    if p48 is not None:
+        dx = conv1_1_bwd_dx(dz5.astype(z5.dtype), z5, p48, x, w, dg48,
+                            ds48, interpret)
     else:  # bh==1 (prime hp: the bwd boundary staging keys on hi==0 /
         # hi==nb-1 and assumes the border quad rows live only in the
-        # first/last band) or window too short for the double-halo x
-        # block: jnp fallback
+        # first/last band) or window too short for the fold's halo:
+        # jnp fallback
         _, vjp = jax.vjp(lambda xx: _conv1_1_packed_ref(xx, w, b), x)
         (dx,) = vjp((dz5.astype(z5.dtype), dg48, ds48))
     return dx, None, None
@@ -685,7 +811,9 @@ def conv1_2_packed_pool(z5, w, b, interpret=False):
     if bh < 2:
         # Degenerate banding: jnp reference fallback (see conv1_1_packed).
         return _conv1_2_ref_with_idx(z5, w, b)
-    wq, bq = pack_weights_phase(w.astype(z5.dtype), b.astype(z5.dtype))
+    tile = _use_tile_staging(cin, z5.dtype)
+    pack = pack_weights_tile if tile else pack_weights_phase
+    wq, bq = pack(w.astype(z5.dtype), b.astype(z5.dtype))
     out_sd = jax.ShapeDtypeStruct((bsz, hp, wp, cout), z5.dtype)
     out_specs = [
         pl.BlockSpec((1, bh, wp, cout), lambda bi, hi: (bi, hi, 0, 0)),
@@ -693,7 +821,8 @@ def conv1_2_packed_pool(z5, w, b, interpret=False):
     ]
     scratch = [pltpu.VMEM((bh, wp, 16 * cin), z5.dtype)]
     return _packed_call(
-        z5, wq, bq, _conv1_2_kernel, out_specs, [out_sd, out_sd], scratch,
+        z5, wq, bq, functools.partial(_conv1_2_kernel, tile_stage=tile),
+        out_specs, [out_sd, out_sd], scratch,
         interpret,
     )
 

@@ -331,3 +331,65 @@ def test_bh1_shapes_gated_and_grads_fall_back():
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
                                atol=1e-4, rtol=1e-4)
     assert float(jnp.abs(gk).max()) > 0
+
+
+def test_pack_weights_tile_is_exact_k_permutation():
+    """pack_weights_tile + the TILE_SLOTS-ordered patch axis is the SAME
+    linear map as pack_weights_phase + quad_patches_ref's K order: the
+    per-rp cp permutation of the patches cancels against the permuted
+    weight rows (pure-jnp check, no kernel)."""
+    from st3d.kernels.stage1_pallas import (
+        TILE_SLOTS,
+        _conv1_1_packed_ref,
+        pack_weights_tile,
+        quad_patches_ref,
+    )
+    from st3d.kernels.stage1_pallas import pack_weights_phase
+
+    key = jax.random.PRNGKey(37)
+    x = jax.random.uniform(key, (1, 16, 24, 3), jnp.float32)
+    w1, b1 = _mats(jax.random.fold_in(key, 1), 3, 64, 0.2)
+    w2, b2 = _mats(jax.random.fold_in(key, 2), 64, 64, 0.05)
+    z5 = _conv1_1_packed_ref(x, w1, b1)[0]
+    p_old = quad_patches_ref(z5)                       # (B, hp, wp, 1024)
+    cin = 64
+    p_tile = (p_old.reshape(p_old.shape[:3] + (4, 4, cin))
+              [..., TILE_SLOTS, :].reshape(p_old.shape))
+    wq_old, bq_old = pack_weights_phase(w2, b2)
+    wq_tile, bq_tile = pack_weights_tile(w2, b2)
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("bhwk,kn->bhwn", p_old, wq_old)),
+        np.asarray(jnp.einsum("bhwk,kn->bhwn", p_tile, wq_tile)),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_array_equal(np.asarray(bq_old), np.asarray(bq_tile))
+
+
+def test_conv1_2_tile_staging_matches_masked_bf16(monkeypatch):
+    """The bf16 tile-staged kernel (8 aligned full-tile stores, permuted
+    K absorbed by pack_weights_tile) == the masked-staging kernel up to
+    MXU/f32 reassociation: pooled values within ~1 bf16 ULP, pool idx
+    routing identical except where reassociation flipped a tie."""
+    from st3d.kernels.stage1_pallas import _conv1_1_packed_ref
+
+    key = jax.random.PRNGKey(31)
+    x = jax.random.uniform(key, (2, 24, 16, 3), jnp.float32)
+    w1, b1 = _mats(jax.random.fold_in(key, 1), 3, 64, 0.2)
+    w2, b2 = _mats(jax.random.fold_in(key, 2), 64, 64, 0.05)
+    z5 = _conv1_1_packed_ref(x, w1, b1)[0].astype(jnp.bfloat16)
+    w2d, b2d = w2.astype(jnp.bfloat16), b2.astype(jnp.bfloat16)
+
+    monkeypatch.delenv("ST3D_NO_S1_WIDE", raising=False)
+    p_t, i_t = jax.jit(
+        lambda zz: conv1_2_packed_pool(zz, w2d, b2d, True))(z5)
+    monkeypatch.setenv("ST3D_NO_S1_WIDE", "1")
+    p_m, i_m = jax.jit(
+        lambda zz: conv1_2_packed_pool(zz, w2d, b2d, True),
+    ).lower(z5).compile()(z5)  # fresh lowering: env read at trace time
+
+    pt = np.asarray(p_t, np.float32)
+    pm = np.asarray(p_m, np.float32)
+    scale = np.abs(pm).max()
+    np.testing.assert_allclose(pt, pm, atol=0.01 * scale, rtol=0.01)
+    idx_same = np.mean(np.asarray(i_t) == np.asarray(i_m))
+    assert idx_same > 0.995, idx_same
