@@ -228,6 +228,22 @@ def measure(tag: str, dtype_name: str = "bfloat16") -> dict:
     losses.block_until_ready()
     compile_s = time.time() - t_setup
 
+    # Post-compile settling: the first calls after a (remote) compile run
+    # up to ~10x slow while tunnel-side async work lands (~80s,
+    # PERF_NOTES round 5). One warmup call absorbs it at 512²+ where a
+    # call is expensive, but at 256² the first TIMED window caught it
+    # (58 vs 195 it/s steady state — the r5j ladder artifact). Settle
+    # with untimed windows until two consecutive agree within 5%.
+    prev = None
+    for _ in range(8):
+        t0 = time.time()
+        params, opt_state, losses = steps(params, opt_state)
+        float(losses[-1])
+        rate = n / (time.time() - t0)
+        if prev is not None and abs(rate - prev) < 0.05 * max(rate, prev):
+            break
+        prev = rate
+
     # Three timing windows, median reported: single-window numbers on the
     # tunneled chip wobble by several percent (PERF_NOTES round-3 notes).
     # Each window ends on a host VALUE fetch, and the median is capped by

@@ -1,15 +1,27 @@
 #!/usr/bin/env python
-"""Micro-benchmark of the planned texture-gradient backward alone, on the
-REAL sampling plan (cow, bench camera rig), with layout variants.
+"""Micro-benchmark of the planned texture-sampling fwd + gradient bwd on
+the REAL sampling plan (cow, bench camera rig), with layout variants.
 
-Round-5 768² trace: the ctq build (fusion.243) costs 4.2ms because XLA
-assigns it a column-major layout to suit the level-1 gather — 9x the
-row-major 512² cost for 2.25x the rows. Variants:
+Round-5 768² trace: the landing scatter (fusion.243) costs 4.2ms because
+XLA assigns it a column-major layout to suit the plane-sliced epilogue —
+9x the row-major 512² cost for 2.25x the rows; the fwd quad-row gather
+(fusion.224) gets the same treatment (1.3ms, VMEM-write-bound). Variants:
 
-  tree          current default
-  tree_barrier  ST3D_TREE_BARRIER=1 (optimization_barrier between the ctq
-                build and the level gathers — decouples the layouts)
-  segsum        ST3D_NO_PLAN_TREE=1 (sorted segment-sum fallback)
+  bwd: tree          current default
+       tree_barrier  ST3D_TREE_BARRIER=1 (barrier between the ctq build
+                     and the level gathers)
+       land_barrier  ST3D_TREE_LAND=barrier (barrier AFTER the landing
+                     scatter — scatter keeps row-major, epilogue pays one
+                     relayout)
+       land_flat     ST3D_TREE_LAND=flat (1-D window-12 scatter: a 1-D
+                     operand has exactly one layout)
+       segsum        ST3D_NO_PLAN_TREE=1 (sorted segment-sum fallback)
+  fwd: fwd           current default
+       fwd_barrier   ST3D_SAMPLE_BARRIER=1 (pin the gather's layout)
+
+Timing discipline (CLAUDE.md): every iteration chains through the
+previous output (identical-arg re-dispatch gets deduped by the tunnel),
+and each window ends on a host value fetch.
 
 Usage: python scripts/tree_micro.py [--size 768] [--iters 50]
 """
@@ -22,6 +34,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+ENV_KEYS = ("ST3D_TREE_BARRIER", "ST3D_NO_PLAN_TREE", "ST3D_TREE_LAND",
+            "ST3D_SAMPLE_BARRIER")
 
 
 def main() -> int:
@@ -56,59 +71,87 @@ def main() -> int:
     plan = vis["plan"]
     ht, wt = tex.shape[0], tex.shape[1]
 
-    ct = jax.random.normal(jax.random.PRNGKey(0),
-                           plan["fx"].shape + (3,), jnp.float32)
+    ct0 = jax.random.normal(jax.random.PRNGKey(0),
+                            plan["fx"].shape + (3,), jnp.float32)
 
-    def run_variant(name, env):
-        old = {k: os.environ.get(k) for k in env}
+    def time_fn(build):
+        """build() -> jitted f(x) -> (out, x_next); returns (ms, out)."""
+        f = build()
+        out, x = f(ct0)
+        jax.block_until_ready((out, x))
+        # settle: two untimed chained windows
+        for _ in range(2):
+            out, x = f(x)
+        float(out.reshape(-1)[0])
+        t0 = time.time()
+        for _ in range(args.iters):
+            out, x = f(x)
+        float(out.reshape(-1)[0])                 # host value fetch
+        ms = (time.time() - t0) / args.iters * 1e3
+        return ms, out
+
+    def with_env(env, fn):
+        old = {k: os.environ.pop(k, None) for k in ENV_KEYS}
         os.environ.update(env)
         try:
-            def bwd(ctv):
-                res = (ht, wt, plan["fx"], plan["fy"], plan["perm"],
-                       plan["segids"], plan.get("tree"))
-                return shading._planned_bwd(res, ctv)[0]
-
-            f = jax.jit(bwd)
-            out = jax.block_until_ready(f(ct))
-            t0 = time.time()
-            for _ in range(args.iters):
-                out = f(ct)
-            jax.block_until_ready(out)
-            ms = (time.time() - t0) / args.iters * 1e3
-            return ms, out
+            return fn()
         finally:
+            for k in ENV_KEYS:
+                os.environ.pop(k, None)
             for k, v in old.items():
-                if v is None:
-                    os.environ.pop(k, None)
-                else:
+                if v is not None:
                     os.environ[k] = v
 
-    results = {}
-    outs = {}
+    def bwd_builder():
+        def bwd(ctv):
+            res = (ht, wt, plan["fx"], plan["fy"], plan["perm"],
+                   plan["segids"], plan.get("tree"))
+            g = shading._planned_bwd(res, ctv)[0]
+            # chain: next input depends on this output (defeats dedupe)
+            ct2 = ctv * (1.0 + 0.0 * g[0, 0, 0])
+            return g, ct2
+        return jax.jit(bwd)
+
+    def fwd_builder():
+        def fwd(ctv):
+            out = shading.sample_covered_planned(
+                mesh.texture, plan["idx"], plan["fx"], plan["fy"],
+                plan["perm"], plan["segids"], plan.get("tree"))
+            # chain via a texture-shaped perturbation driven by ctv
+            out = out * (1.0 + 0.0 * ctv[0, 0, 0])
+            return out, ctv * (1.0 + 0.0 * out.reshape(-1)[0])
+        return jax.jit(fwd)
+
+    results, outs = {}, {}
     for name, env in (
-        ("tree", {"ST3D_TREE_BARRIER": "", "ST3D_NO_PLAN_TREE": ""}),
-        ("tree_barrier", {"ST3D_TREE_BARRIER": "1",
-                          "ST3D_NO_PLAN_TREE": ""}),
-        ("segsum", {"ST3D_TREE_BARRIER": "", "ST3D_NO_PLAN_TREE": "1"}),
+        ("tree", {}),
+        ("tree_barrier", {"ST3D_TREE_BARRIER": "1"}),
+        ("land_barrier", {"ST3D_TREE_LAND": "barrier"}),
+        ("land_flat", {"ST3D_TREE_LAND": "flat"}),
+        ("segsum", {"ST3D_NO_PLAN_TREE": "1"}),
     ):
-        env = {k: v for k, v in env.items() if v} or \
-            {k: "" for k in env}  # ensure empties unset
-        clean = {}
-        for k in ("ST3D_TREE_BARRIER", "ST3D_NO_PLAN_TREE"):
-            os.environ.pop(k, None)
-        clean.update({k: v for k, v in env.items() if v})
-        ms, out = run_variant(name, clean)
+        ms, out = with_env(env, lambda: time_fn(bwd_builder))
         results[name] = round(ms, 3)
         outs[name] = out
         print(json.dumps({"size": args.size, "variant": name,
                           "ms": results[name]}), flush=True)
 
-    import numpy as np
+    for name, env in (
+        ("fwd", {}),
+        ("fwd_barrier", {"ST3D_SAMPLE_BARRIER": "1"}),
+    ):
+        ms, out = with_env(env, lambda: time_fn(fwd_builder))
+        results[name] = round(ms, 3)
+        outs[name] = out
+        print(json.dumps({"size": args.size, "variant": name,
+                          "ms": results[name]}), flush=True)
 
-    d = float(jnp.max(jnp.abs(outs["tree"] - outs["tree_barrier"])))
-    ds = float(jnp.max(jnp.abs(outs["tree"] - outs["segsum"])))
-    print(json.dumps({"max_abs_tree_vs_barrier": d,
-                      "max_abs_tree_vs_segsum": ds}), flush=True)
+    base = outs["tree"]
+    for name in ("tree_barrier", "land_barrier", "land_flat", "segsum"):
+        d = float(jnp.max(jnp.abs(base - outs[name])))
+        print(json.dumps({"max_abs_vs_tree": {name: d}}), flush=True)
+    d = float(jnp.max(jnp.abs(outs["fwd"] - outs["fwd_barrier"])))
+    print(json.dumps({"max_abs_fwd_vs_barrier": d}), flush=True)
     return 0
 
 

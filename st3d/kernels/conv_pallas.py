@@ -258,6 +258,100 @@ def _conv_kernel_nopad(x_ref, w_ref, b_ref, o_ref, *rest, bh, wi,
     _finish(acc, b_ref, o_ref, bh, wi, cout, relu, i_ref)
 
 
+def _stage_halo_block(x_ref, s_ref, *, bh, wi, cin, nbands):
+    """Copy the row-halo'd UNPADDED input block (1, bh+2, wi, cin) into a
+    zero-bordered (bh+2, wi+2, cin) VMEM scratch, so after staging
+    ``s_ref[r, c, :] == SAME-padded-image[hi*bh - 1 + r, c - 1, :]`` —
+    exactly the window layout the padded-operand kernels' direct tap
+    reads expect. Row algebra mirrors ``_conv_kernel_nopad``: the block
+    sits at image row ``clip(hi*bh - 1, 0, h - bh - 2)``, i.e. shifted
+    +1 (first band) / -1 (last band) from the padded window; the
+    out-of-image row of the boundary bands is zeroed. Callers guard
+    nbands >= 2 and bh >= 2."""
+    hi = pl.program_id(1)
+    zcol = jnp.zeros((bh + 2, 1, cin), x_ref.dtype)
+    zrow = jnp.zeros((1, wi + 2, cin), x_ref.dtype)
+    s_ref[:, 0:1, :] = zcol
+    s_ref[:, wi + 1:wi + 2, :] = zcol
+
+    @pl.when((hi != 0) & (hi != nbands - 1))
+    def _interior():
+        s_ref[:, 1:wi + 1, :] = x_ref[0]
+
+    @pl.when(hi == 0)
+    def _first():
+        s_ref[1:bh + 2, 1:wi + 1, :] = x_ref[0, 0:bh + 1]
+        s_ref[0:1, :, :] = zrow
+
+    @pl.when(hi == nbands - 1)
+    def _last():
+        s_ref[0:bh + 1, 1:wi + 1, :] = x_ref[0, 1:bh + 2]
+        s_ref[bh + 1:bh + 2, :, :] = zrow
+
+
+def _conv_kernel_halo1(x_ref, w_ref, b_ref, o_ref, *rest, bh, wi, cin,
+                       cout, nbands, relu=False, pool=False):
+    """group=1 kernel on an UNPADDED input: stage the zero-bordered halo
+    window into VMEM scratch (``_stage_halo_block``), then run the same
+    9 direct-tap dots as ``_conv_kernel``. Kills the HBM pad op the
+    padded-operand path pays per call — the profiler's remaining ~0.9
+    ms/step of pads at 512² after the group=9 layers went halo (fwd pads
+    of the 128+-channel convs + the pads of every transposed-conv
+    cotangent in the backward). The staging copy is VMEM-local VPU work
+    ~N/(9*cout) of the band's MXU cycles (≈11% at cout=128, less above).
+    """
+    i_ref = rest[0] if pool else None
+    s_ref = rest[-1]
+    _stage_halo_block(x_ref, s_ref, bh=bh, wi=wi, cin=cin, nbands=nbands)
+    acc = jnp.zeros((bh * wi, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            tap = s_ref[dy:dy + bh, dx:dx + wi, :].reshape(bh * wi, cin)
+            wk = w_ref[(dy * 3 + dx) * cin:(dy * 3 + dx + 1) * cin, :]
+            acc = acc + jnp.dot(tap, wk, preferred_element_type=jnp.float32)
+    _finish(acc, b_ref, o_ref, bh, wi, cout, relu, i_ref)
+
+
+def _halo1_band(h: int, wi: int, cin: int, cout: int, itemsize: int,
+                bh: int, pool: bool) -> int:
+    """Band rows for the halo-scratch path: start from ``_band_rows``'s
+    choice and shrink until the double-buffered in/out blocks + weights
+    + the (bh+2, wi+2, cin) scratch fit a conservative 13.5MB of the
+    16MB scoped VMEM (the padded path's budget never modeled the
+    scratch; at 1024² f32 cin=cout=512 the unshrunk total is 16.3MB).
+    Returns 0 when no bh >= 2 fits (caller falls back to the padded
+    path)."""
+    step = 2 if pool else 1
+
+    def vmem(b):
+        return ((2 * ((b + 2) * wi * cin + b * wi * cout)
+                 + 9 * cin * cout + (b + 2) * (wi + 2) * cin) * itemsize)
+
+    while bh >= 2:
+        if vmem(bh) <= 13_500_000 and h % bh == 0:
+            return bh
+        bh -= step
+    return 0
+
+
+def _halo1_ok(h: int, wi: int, bh: int, nb: int) -> bool:
+    """Shape guards for the halo-scratch path (same algebra as nopad:
+    the Element row offset clip(hi*bh-1, 0, h-bh-2) needs h-bh-2 >= 0
+    and >= 2 bands so first/last boundary staging never overlaps);
+    ``ST3D_NO_HALO1=1`` reverts to HBM-padded operands (A/B)."""
+    return (nb >= 2 and bh >= 2 and h - bh - 2 >= 0 and wi >= 2
+            and not os.environ.get("ST3D_NO_KERNEL_HALO")
+            and not os.environ.get("ST3D_NO_HALO1"))
+
+
+def _halo1_xspec(bh, wi, cin, h):
+    return pl.BlockSpec(
+        (pl.Element(1), pl.Element(bh + 2), pl.Element(wi),
+         pl.Element(cin)),
+        lambda bi, hi: (bi, jnp.clip(hi * bh - 1, 0, h - bh - 2), 0, 0),
+    )
+
+
 def _conv3x3_same_impl(x, w, b, interpret, relu=False, pool=False):
     bsz, h, wi, cin = x.shape
     cout = w.shape[3]
@@ -295,6 +389,20 @@ def _conv3x3_same_impl(x, w, b, interpret, relu=False, pool=False):
              pl.Element(cin)),
             lambda bi, hi: (bi, jnp.clip(hi * bh - 1, 0, h - bh - 2), 0, 0),
         )
+        operand = x
+    elif (group == 1
+          and (bh1 := _halo1_band(h, wi, cin, cout, x.dtype.itemsize,
+                                  bh, pool))
+          and _halo1_ok(h, wi, bh1, h // bh1)):
+        from jax.experimental.pallas import tpu as pltpu
+
+        bh, nb = bh1, h // bh1
+        kernel = functools.partial(
+            _conv_kernel_halo1, bh=bh, wi=wi, cin=cin, cout=cout,
+            nbands=nb, relu=relu, pool=pool,
+        )
+        x_spec = _halo1_xspec(bh, wi, cin, h)
+        scratch = [pltpu.VMEM((bh + 2, wi + 2, cin), x.dtype)]
         operand = x
     else:
         kernel = functools.partial(
@@ -464,22 +572,63 @@ def _conv_gram_kernel(x_ref, w_ref, b_ref, o_ref, g_ref, *, bh, wi, cin,
         g_ref[0] += partial
 
 
+def _conv_gram_kernel_halo(x_ref, w_ref, b_ref, o_ref, g_ref, s_ref, *,
+                           bh, wi, cin, cout, nbands):
+    """_conv_gram_kernel on an UNPADDED input block: same staging as
+    ``_conv_kernel_halo1``, then the identical tap dots + output-dtype
+    Gram accumulation (bit-identical outputs to the padded variant)."""
+    _stage_halo_block(x_ref, s_ref, bh=bh, wi=wi, cin=cin, nbands=nbands)
+    acc = jnp.zeros((bh * wi, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            tap = s_ref[dy:dy + bh, dx:dx + wi, :].reshape(bh * wi, cin)
+            wk = w_ref[(dy * 3 + dx) * cin:(dy * 3 + dx + 1) * cin, :]
+            acc = acc + jnp.dot(tap, wk, preferred_element_type=jnp.float32)
+    acc = acc + b_ref[0].astype(jnp.float32)
+    y = acc.astype(o_ref.dtype)
+    o_ref[0] = y.reshape(bh, wi, cout)
+    partial = jnp.dot(y.T, y, preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        g_ref[0] = partial
+
+    @pl.when(pl.program_id(1) != 0)
+    def _acc():
+        g_ref[0] += partial
+
+
 def _conv_gram_impl(x, w, b, interpret):
     bsz, h, wi, cin = x.shape
     cout = w.shape[3]
     bh = _band_rows(h, wi, cin, cout, x.dtype.itemsize)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     wf = w.reshape(9 * cin, cout)
+    bh1 = _halo1_band(h, wi, cin, cout, x.dtype.itemsize, bh, False)
+    if bh1 and _halo1_ok(h, wi, bh1, h // bh1):
+        from jax.experimental.pallas import tpu as pltpu
+
+        bh = bh1
+        kernel = functools.partial(_conv_gram_kernel_halo, bh=bh, wi=wi,
+                                   cin=cin, cout=cout, nbands=h // bh)
+        x_spec = _halo1_xspec(bh, wi, cin, h)
+        scratch = [pltpu.VMEM((bh + 2, wi + 2, cin), x.dtype)]
+        operand = x
+    else:
+        kernel = functools.partial(_conv_gram_kernel, bh=bh, wi=wi,
+                                   cin=cin, cout=cout, group=1)
+        x_spec = pl.BlockSpec(
+            (pl.Element(1), pl.Element(bh + 2), pl.Element(wi + 2),
+             pl.Element(cin)),
+            lambda bi, hi: (bi, hi * bh, 0, 0),
+        )
+        scratch = []
+        operand = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     return pl.pallas_call(
-        functools.partial(_conv_gram_kernel, bh=bh, wi=wi, cin=cin,
-                          cout=cout, group=1),
+        kernel,
         grid=(bsz, h // bh),
+        scratch_shapes=scratch,
         in_specs=[
-            pl.BlockSpec(
-                (pl.Element(1), pl.Element(bh + 2), pl.Element(wi + 2),
-                 pl.Element(cin)),
-                lambda bi, hi: (bi, hi * bh, 0, 0),
-            ),
+            x_spec,
             pl.BlockSpec((9 * cin, cout), lambda bi, hi: (0, 0)),
             pl.BlockSpec((1, cout), lambda bi, hi: (0, 0)),
         ],
@@ -492,7 +641,7 @@ def _conv_gram_impl(x, w, b, interpret):
             jax.ShapeDtypeStruct((bsz, cout, cout), jnp.float32),
         ],
         interpret=interpret,
-    )(xp, wf, b.reshape(1, cout))
+    )(operand, wf, b.reshape(1, cout))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

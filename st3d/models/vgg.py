@@ -238,8 +238,70 @@ def _stage1_v2_ok(x: jnp.ndarray, gram1: bool, wanted) -> bool:
     return stage1_supported(x)
 
 
+def _reduce_window_max_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def _up2x2(a: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """(B, h2, w2, C) → (B, h, w, C): broadcast each value over its 2x2
+    window (h = 2*h2, w = 2*w2)."""
+    bsz, h2, w2, c = a.shape
+    return jnp.broadcast_to(
+        a[:, :, None, :, None, :], (bsz, h2, 2, w2, 2, c)
+    ).reshape(bsz, h, w, c)
+
+
+@jax.custom_vjp
+def _max_pool_2x2_routed(x: jnp.ndarray) -> jnp.ndarray:
+    return _reduce_window_max_2x2(x)
+
+
+def _mp_fwd(x):
+    y = _reduce_window_max_2x2(x)
+    return y, (x, y)
+
+
+def _mp_bwd(res, dy):
+    """Exact SelectAndScatter replacement: route ``dy`` to the FIRST
+    (window scan order) element equal to the window max — the same
+    routing XLA's ge-select SelectAndScatter probes, but as fusable
+    elementwise ops + one small rank-score reduce_window instead of the
+    serial window probe (profiler: SelectAndScatter ran pools 2-3 at
+    ~4x their bandwidth roofline, 660us/step at 512²). Equality-tested
+    against the autodiff gradient incl. crafted ties / all-zero windows
+    (tests/test_vgg.py::test_pool_bwd_routed_exact)."""
+    x, y = res
+    bsz, h2, w2, c = y.shape
+    xe = x[:, :h2 * 2, :w2 * 2, :]
+    eq = xe == _up2x2(y, h2 * 2, w2 * 2)
+    ri = jax.lax.broadcasted_iota(jnp.int32, xe.shape, 1) % 2
+    ci = jax.lax.broadcasted_iota(jnp.int32, xe.shape, 2) % 2
+    # Rank 0..3 in window scan order; 4 = "not a max". Values are exact
+    # in bf16, so the score rides the activation dtype (half the HBM
+    # traffic of an i32/f32 score).
+    rank = (ri * 2 + ci).astype(x.dtype)
+    score = jnp.where(eq, rank, jnp.asarray(4, x.dtype))
+    min_rank = -_reduce_window_max_2x2(-score)
+    take = eq & (rank == _up2x2(min_rank, h2 * 2, w2 * 2))
+    dxe = jnp.where(take, _up2x2(dy, h2 * 2, w2 * 2),
+                    jnp.zeros_like(xe, dy.dtype))
+    if xe.shape != x.shape:  # odd H/W: floor-mode rows/cols get zero grad
+        dxe = jnp.pad(dxe, ((0, 0), (0, x.shape[1] - xe.shape[1]),
+                            (0, x.shape[2] - xe.shape[2]), (0, 0)))
+    return (dxe,)
+
+
+_max_pool_2x2_routed.defvjp(_mp_fwd, _mp_bwd)
+
+
 def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     """torch MaxPool2d(kernel=2, stride=2) in NHWC (floor mode == VALID).
+
+    ``ST3D_POOL_BWD=routed`` (A/B candidate, round 5) swaps the backward
+    from XLA's SelectAndScatter to the first-max routed formulation in
+    ``_mp_bwd`` (identical forward, bit-identical gradients).
 
     ``ST3D_POOL=stride`` (experiment — measured 2x SLOWER end-to-end on
     TPU, ab_bench 15.7 vs 30.5 it/s: the strided quadrant slices force
@@ -253,9 +315,9 @@ def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
             jnp.maximum(x[:, 0:h2:2, 0:w2:2], x[:, 1:h2:2, 0:w2:2]),
             jnp.maximum(x[:, 0:h2:2, 1:w2:2], x[:, 1:h2:2, 1:w2:2]),
         )
-    return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-    )
+    if os.environ.get("ST3D_POOL_BWD") == "routed":
+        return _max_pool_2x2_routed(x)
+    return _reduce_window_max_2x2(x)
 
 
 def get_features(

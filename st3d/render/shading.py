@@ -153,7 +153,9 @@ def sample_covered_planned(texture, idx, fx, fy, perm, segids, tree=None):
     (constants — see renderer.compact_visibility); perm is a static
     permutation sorting the flattened bilinear contributions by TARGET TEXEL
     and segids the sorted texel ids. Forward is identical math to
-    ``sample_texture``. The custom backward replaces XLA's random-order
+    ``sample_texture``. ``ST3D_SAMPLE_BARRIER=1`` pins the quad-row
+    gather's output layout (768²: XLA flips it column-major to suit a
+    consumer, making the gather VMEM-write-bound — trace fusion.224). The custom backward replaces XLA's random-order
     atlas scatter-add (the single most expensive op of the step at 512**2 —
     ~5ms, profiler-measured) with the exact transpose of the same linear
     map, evaluated in texel order. This is the one custom VJP in the tree;
@@ -178,7 +180,10 @@ def sample_covered_planned(texture, idx, fx, fy, perm, segids, tree=None):
       perm + sorted segment-sum.
     """
     ht, wt = texture.shape[0], texture.shape[1]
-    return _bilerp_rows(_quad_pack(texture)[idx], fx, fy)
+    g = _quad_pack(texture)[idx]
+    if os.environ.get("ST3D_SAMPLE_BARRIER"):
+        g = jax.lax.optimization_barrier(g)
+    return _bilerp_rows(g, fx, fy)
 
 
 def _planned_fwd(texture, idx, fx, fy, perm, segids, tree=None):
@@ -235,8 +240,33 @@ def _planned_bwd(res, ct):
             src = lvl
         cat = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
         rows = cat[tree["out_idx"]]
-        sums = jnp.zeros((ht * wt, 12), rows.dtype).at[tree["texels"]].set(
-            rows, unique_indices=True, indices_are_sorted=True)
+        land = os.environ.get("ST3D_TREE_LAND", "")
+        if land == "flat":
+            # 768² layout fix candidate: XLA assigns the 2-D landing a
+            # column-major layout to suit the plane-sliced epilogue, so
+            # each 12-float row-set writes 12 separate tiles (round-5
+            # trace fusion.243: 4.2ms at 2.6GiB/s, VMEM-write-bound,
+            # vs 0.47ms row-major at 512²). A 1-D operand has exactly
+            # one layout — scatter 12-element windows at texel*12 and
+            # let the consumer reshape (bit-identical values).
+            dnums = jax.lax.ScatterDimensionNumbers(
+                update_window_dims=(1,), inserted_window_dims=(),
+                scatter_dims_to_operand_dims=(0,))
+            flat1 = jax.lax.scatter(
+                jnp.zeros((ht * wt * 12,), rows.dtype),
+                (tree["texels"][:, None] * 12).astype(jnp.int32), rows,
+                dnums, indices_are_sorted=True, unique_indices=True,
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+            sums = flat1.reshape(ht * wt, 12)
+        else:
+            sums = jnp.zeros((ht * wt, 12), rows.dtype).at[
+                tree["texels"]].set(
+                rows, unique_indices=True, indices_are_sorted=True)
+            if land == "barrier":
+                # Same fix via layout decoupling: the barrier pins the
+                # scatter's own (row-major) layout and pays one explicit
+                # relayout into the epilogue's preferred planes.
+                sums = jax.lax.optimization_barrier(sums)
     else:
         sums = jax.ops.segment_sum(
             flat[perm], segids, num_segments=ht * wt,

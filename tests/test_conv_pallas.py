@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from st3d.kernels import conv_pallas
 from st3d.kernels.conv_pallas import conv3x3_bias
 
 
@@ -418,3 +419,55 @@ def test_conv_packed_pool_bf16_interpret():
     assert g.dtype == jnp.bfloat16
     assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
     assert float(jnp.abs(g.astype(jnp.float32)).max()) > 0
+
+
+@pytest.mark.parametrize("shape,cout", [
+    ((1, 8, 8, 128), 128),     # group=1 (cin>=128): the halo1 path
+    ((2, 12, 8, 256), 128),
+])
+def test_halo1_matches_padded(monkeypatch, shape, cout):
+    """The group=1 halo-scratch kernel (no HBM pad) is bit-identical to
+    the padded-operand kernel, fwd and input-grad."""
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, shape, jnp.float32)
+    w = jax.random.normal(
+        jax.random.fold_in(key, 1), (3, 3, shape[3], cout), jnp.float32
+    ) * 0.05
+    b = jax.random.normal(jax.random.fold_in(key, 2), (cout,)) * 0.1
+
+    def run(relu):
+        def f(xx):
+            out = conv_pallas.conv3x3_bias_relu(xx, w, b, True) if relu \
+                else conv_pallas.conv3x3_bias(xx, w, b, True)
+            return jnp.sum(out ** 2), out
+        (loss, out), grad = jax.value_and_grad(f, has_aux=True)(x)
+        return out, grad
+
+    monkeypatch.delenv("ST3D_NO_HALO1", raising=False)
+    y1, g1 = run(relu=False)
+    monkeypatch.setenv("ST3D_NO_HALO1", "1")
+    y0, g0 = run(relu=False)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
+
+def test_gram_halo_matches_padded(monkeypatch):
+    """conv3x3_bias_gram's halo-scratch staging == the padded variant
+    bit-for-bit (y, gram, and input grad through both cotangents)."""
+    key = jax.random.PRNGKey(13)
+    x = jax.random.normal(key, (2, 8, 8, 128), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1),
+                          (3, 3, 128, 128), jnp.float32) * 0.05
+    b = jax.random.normal(jax.random.fold_in(key, 2), (128,)) * 0.1
+
+    def f(xx):
+        y, g = conv_pallas.conv3x3_bias_gram(xx, w, b, True)
+        return jnp.sum(y ** 2) + jnp.sum(g ** 2), (y, g)
+
+    monkeypatch.delenv("ST3D_NO_HALO1", raising=False)
+    (_, (y1, g1)), dx1 = jax.value_and_grad(f, has_aux=True)(x)
+    monkeypatch.setenv("ST3D_NO_HALO1", "1")
+    (_, (y0, g0)), dx0 = jax.value_and_grad(f, has_aux=True)(x)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+    np.testing.assert_array_equal(np.asarray(dx0), np.asarray(dx1))

@@ -83,3 +83,64 @@ def test_fold_gram48_two_traces_no_leak():
     r2 = jax.jit(lambda g, s: fold_gram48(g * 2, s, w, b, 64))(g48, s48)
     assert r1.shape == r2.shape == (2, 64, 64)
     assert bool(jnp.all(jnp.isfinite(r1))) and bool(jnp.all(jnp.isfinite(r2)))
+
+
+@pytest.mark.parametrize("land", ["barrier", "flat"])
+def test_landing_variants_bit_equal(monkeypatch, land):
+    """ST3D_TREE_LAND={barrier,flat} change only the landing scatter's
+    layout/form — the full _planned_bwd texture gradient is bit-identical
+    to the default landing (same adds, same order)."""
+    from st3d.render import shading
+    from st3d.render.renderer import compact_visibility, precompute_visibility
+    from st3d.core.cameras import build_fixed_cameras
+    from st3d.io.obj import load_mesh
+    from st3d.render.rasterize import RasterizationSettings
+    from st3d.utils.assets import resolve_asset
+
+    mesh = load_mesh(resolve_asset("./objects/cow_mesh/cow.obj"))
+    cams = build_fixed_cameras(2, shuffle=False)
+    settings = RasterizationSettings(image_size=64, backend="auto")
+    vis = precompute_visibility(mesh, cams, settings)
+    vis = compact_visibility(vis, texture_shape=mesh.texture.shape)
+    plan = vis["plan"]
+    assert "tree" in plan
+    ht, wt = mesh.texture.shape[0], mesh.texture.shape[1]
+    ct = jax.random.normal(jax.random.PRNGKey(5),
+                           plan["fx"].shape + (3,), jnp.float32)
+    res = (ht, wt, plan["fx"], plan["fy"], plan["perm"], plan["segids"],
+           plan["tree"])
+
+    monkeypatch.delenv("ST3D_TREE_LAND", raising=False)
+    g0 = shading._planned_bwd(res, ct)[0]
+    monkeypatch.setenv("ST3D_TREE_LAND", land)
+    g1 = shading._planned_bwd(res, ct)[0]
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
+
+def test_sample_barrier_bit_equal(monkeypatch):
+    """ST3D_SAMPLE_BARRIER pins a layout only — forward values are
+    bit-identical."""
+    from st3d.render import shading
+    from st3d.render.renderer import compact_visibility, precompute_visibility
+    from st3d.core.cameras import build_fixed_cameras
+    from st3d.io.obj import load_mesh
+    from st3d.render.rasterize import RasterizationSettings
+    from st3d.utils.assets import resolve_asset
+
+    mesh = load_mesh(resolve_asset("./objects/cow_mesh/cow.obj"))
+    cams = build_fixed_cameras(2, shuffle=False)
+    settings = RasterizationSettings(image_size=64, backend="auto")
+    vis = precompute_visibility(mesh, cams, settings)
+    vis = compact_visibility(vis, texture_shape=mesh.texture.shape)
+    plan = vis["plan"]
+
+    def fwd():
+        return shading.sample_covered_planned(
+            mesh.texture, plan["idx"], plan["fx"], plan["fy"],
+            plan["perm"], plan["segids"], plan.get("tree"))
+
+    monkeypatch.delenv("ST3D_SAMPLE_BARRIER", raising=False)
+    o0 = fwd()
+    monkeypatch.setenv("ST3D_SAMPLE_BARRIER", "1")
+    o1 = fwd()
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))

@@ -338,3 +338,53 @@ def test_gram1_bf16_close_to_tap_route():
     g32_alg = np.asarray(get_features(
         imgs, model, layout="NHWC", gram1=True)["conv1_1:gram"], np.float64)
     assert np.abs(g32_alg - g32_tap).max() / scale < 1e-4
+
+
+def test_pool_bwd_routed_exact():
+    """The routed maxpool backward (_mp_bwd) equals the autodiff
+    SelectAndScatter gradient bit-for-bit — including crafted ties
+    (quantized inputs), all-zero windows (the post-relu common case),
+    odd floor-mode shapes, and bf16."""
+    import jax
+
+    from st3d.models.vgg import _max_pool_2x2_routed, _reduce_window_max_2x2
+
+    key = jax.random.PRNGKey(7)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        for shape in [(2, 8, 8, 3), (1, 6, 10, 4), (2, 7, 9, 2)]:
+            x = jax.random.normal(key, shape).astype(dtype)
+            xq = jnp.round(x * 2) / 2          # forced in-window ties
+            for xx in (x, xq, jnp.zeros(shape, dtype)):
+                y_ref, vjp_ref = jax.vjp(_reduce_window_max_2x2, xx)
+                y_new, vjp_new = jax.vjp(_max_pool_2x2_routed, xx)
+                np.testing.assert_array_equal(np.asarray(y_ref),
+                                              np.asarray(y_new))
+                dy = jax.random.normal(
+                    jax.random.fold_in(key, 1), y_ref.shape).astype(dtype)
+                (dx_ref,) = vjp_ref(dy)
+                (dx_new,) = vjp_new(dy)
+                np.testing.assert_array_equal(
+                    np.asarray(dx_ref, np.float32),
+                    np.asarray(dx_new, np.float32))
+
+
+def test_pool_bwd_routed_env_flows_through_get_features(monkeypatch):
+    """ST3D_POOL_BWD=routed leaves every tap's value and image gradient
+    identical to the default SelectAndScatter path."""
+    import jax
+
+    model = get_vgg()
+    key = jax.random.PRNGKey(3)
+    img = jax.random.uniform(key, (2, 3, 64, 64), jnp.float32)
+
+    def loss(images):
+        feats = get_features(images, model)
+        return sum(jnp.sum(f.astype(jnp.float32) ** 2)
+                   for f in feats.values())
+
+    monkeypatch.delenv("ST3D_POOL_BWD", raising=False)
+    l0, g0 = jax.value_and_grad(loss)(img)
+    monkeypatch.setenv("ST3D_POOL_BWD", "routed")
+    l1, g1 = jax.value_and_grad(loss)(img)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
