@@ -338,7 +338,9 @@ def _halo1_ok(h: int, wi: int, bh: int, nb: int) -> bool:
     """Shape guards for the halo-scratch path (same algebra as nopad:
     the Element row offset clip(hi*bh-1, 0, h-bh-2) needs h-bh-2 >= 0
     and >= 2 bands so first/last boundary staging never overlaps);
-    ``ST3D_NO_HALO1=1`` reverts to HBM-padded operands (A/B)."""
+    ``ST3D_NO_HALO1=1`` reverts to HBM-padded operands (A/B). Measured
+    round 5: halo1 default ON is worth +4.7% on the full step (49.34 vs
+    47.15 it/s @512² bf16, 5 agreeing windows per variant)."""
     return (nb >= 2 and bh >= 2 and h - bh - 2 >= 0 and wi >= 2
             and not os.environ.get("ST3D_NO_KERNEL_HALO")
             and not os.environ.get("ST3D_NO_HALO1"))

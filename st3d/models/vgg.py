@@ -301,7 +301,10 @@ def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
 
     ``ST3D_POOL_BWD=routed`` (A/B candidate, round 5) swaps the backward
     from XLA's SelectAndScatter to the first-max routed formulation in
-    ``_mp_bwd`` (identical forward, bit-identical gradients).
+    ``_mp_bwd`` (identical forward, bit-identical gradients). Measured a
+    LOSS on the full step (47.39 vs 49.34 it/s @512² bf16, 5 agreeing
+    windows) — SelectAndScatter is already the faster backward; kept as
+    a documented dead end.
 
     ``ST3D_POOL=stride`` (experiment — measured 2x SLOWER end-to-end on
     TPU, ab_bench 15.7 vs 30.5 it/s: the strided quadrant slices force
